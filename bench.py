@@ -1,0 +1,134 @@
+"""Benchmark harness — run the headline kernels at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The primary reference metric (BASELINE.md) is edges/sec per PageRank
+superstep; reported under "throughput" alongside per-kernel edge counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_spark():
+    from networkit_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return get_spark(
+        master=f"local[{cpus}]",
+        app_name="networkit-spark-bench",
+        shuffle_partitions=max(16, int(cpus) if cpus.isdigit() else 32),
+    )
+
+
+def conv_graph(spark, n_convs=30000):
+    """Sparse conv→conv adjacency graph from synthetic transcripts; node id
+    = conv index (direct integer parse — no global window needed)."""
+    from networkit_spark.sources.transcripts import (
+        conv_adjacency_edges,
+        synthesize_transcripts,
+    )
+    from networkit_spark.graph import GraphDF
+
+    t = synthesize_transcripts(spark, n_convs)
+    e = conv_adjacency_edges(t)
+    edges = e.select(
+        F.substring("src_conv", 6, 6).cast("long").alias("src"),
+        F.substring("dst_conv", 6, 6).cast("long").alias("dst"),
+        "weight",
+    )
+    return GraphDF.from_edges(edges, directed=True, weighted=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pr_iters = int(os.environ.get("BENCH_PR_ITERS", "20"))
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.operators.components import weakly_connected_components
+    from networkit_spark.operators.pagerank import pagerank_fixed
+    from networkit_spark.operators.plp import plp_fixed
+    from networkit_spark.operators.triangles import triangle_counts
+    from networkit_spark.sources import tpch_graph as tg
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, dict] = {}
+
+    # ---- pagerank on the customer→supplier link graph (the headline)
+    g_cs = tg.customer_supplier_graph(spark, sf_dir)
+    m_cs = g_cs.number_of_edges()
+    t0 = time.time()
+    pagerank_fixed(g_cs, iterations=pr_iters).count()
+    dt = time.time() - t0
+    timings["pagerank_cs"] = round(dt, 3)
+    throughput["pagerank_cs"] = {
+        "edges": m_cs,
+        "supersteps": pr_iters,
+        "edges_per_sec_per_superstep": round(m_cs * pr_iters / dt, 1),
+    }
+
+    # ---- weakly connected components to fixpoint
+    t0 = time.time()
+    weakly_connected_components(g_cs).count()
+    dt = time.time() - t0
+    timings["wcc_cs"] = round(dt, 3)
+    throughput["wcc_cs"] = {"edges": m_cs, "edges_per_sec": round(m_cs / dt, 1)}
+
+    # ---- synchronous PLP on the dense supplier co-purchase graph
+    g_co = tg.supplier_co_graph(spark, sf_dir)
+    m_co = g_co.number_of_edges()
+    t0 = time.time()
+    plp_fixed(g_co, iterations=4).count()
+    dt = time.time() - t0
+    timings["plp_co"] = round(dt, 3)
+    throughput["plp_co"] = {
+        "edges": m_co,
+        "supersteps": 4,
+        "edges_per_sec_per_superstep": round(m_co * 4 / dt, 1),
+    }
+
+    # ---- triangle counting on the sparse transcript conv→conv graph
+    g_conv = conv_graph(spark).to_undirected()
+    m_conv = g_conv.number_of_edges()
+    t0 = time.time()
+    triangle_counts(g_conv).count()
+    dt = time.time() - t0
+    timings["triangles_conv"] = round(dt, 3)
+    throughput["triangles_conv"] = {
+        "edges": m_conv,
+        "edges_per_sec": round(m_conv / dt, 1),
+    }
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline kernel wall-clock (pagerank/wcc/plp/triangles)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "throughput": throughput,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

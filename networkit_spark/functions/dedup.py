@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash, and n-gram Jaccard. Everything is DataFrame-native: shingling via
+built-in array functions, minhash via xxhash64 with per-permutation seeds
+(no RNG state — reproducible across partitionings and cluster sizes), LSH
+banding via groupBy on (band, band-hash) — the classic shuffle-friendly
+near-dup join that avoids the O(n²) pair space at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(keep_id, n_dups): groups of byte-identical texts; keep_id = min id.
+    At scale, group on xxhash64(text) first so the shuffle key is 8 bytes,
+    then verify within group (hash collisions are checked, not trusted)."""
+    h = df.select(F.col(id_col), F.col(text_col), F.xxhash64(text_col).alias("h"))
+    return (
+        h.groupBy("h", text_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle): distinct k-token shingles per doc, via built-in
+    split + transform over token index — no Python UDF."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>): minhash signature; permutation j is
+    min(xxhash64(shingle, j)) — seeded hashes, fully deterministic."""
+    sh = shingles(df, text_col, id_col, k=shingle_k)
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard): near-dup candidate pairs sharing ≥1 LSH
+    band; est_jaccard = matching signature fraction. The band groupBy keys
+    the shuffle on (band, hash-of-rows) — linear, never O(n²)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over whitespace tokens. Per-bit
+    majority vote of xxhash64(token) — expressed as aggregate over exploded
+    tokens with bitwise built-ins (shiftright/bitwiseAND), no Python."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            (
+                F.sum(
+                    F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                )
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): EXACT n-gram Jaccard over candidate pairs that
+    share ≥1 shingle (inverted-index join — linear in postings, not n²).
+    |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|−|A∩B|."""
+    sh = shingles(df, text_col, id_col, k=k).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def embedding_cosine_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cos): embedding near-dups above a cosine threshold.
+    Brute-force O(n²) pair space — correct baseline; the scale path buckets
+    by sign-LSH first (see functions/similarity.py lsh_ann)."""
+    from networkit_spark.functions.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,176 @@
+"""PLP — synchronous label propagation community detection.
+
+Reference: networkit/cpp/community/PLP.cpp:22-114 —
+  * labels init singleton = node id (:28-32)
+  * each sweep, every non-isolated (active) node adopts the label with the
+    MAXIMUM summed incident edge weight among its neighbors; ties break to
+    the SMALLEST label id (std::max_element over an ordered std::map,
+    :77-89)
+  * stop when nUpdated <= updateThreshold (default n/1e5) or maxIterations
+    (:66); per-sweep timings recorded (:108-109) — we persist the analogous
+    superstep metrics via the checkpointer.
+
+The reference's sweeps are parallel-asynchronous (in-place label reads,
+PLP.cpp:74) and therefore nondeterministic. Per the north rule this engine
+fixes SYNCHRONOUS semantics — every node reads the previous sweep's labels —
+with the same (max weight, min label) tie-break, so labels are exactly
+reproducible and SQL-oracle-checkable.
+
+Spark shape per sweep:
+    cand   = E_sym ⋈ labels on src → (dst, label, weight)
+    scores = cand.groupBy(dst, label).agg(sum(weight))
+    winner = row_number over (partition by dst order by w desc, label asc) = 1
+    labels'= V left⋈ winner (isolated nodes keep their singleton label)
+The frontier optimization (only recompute nodes with a changed neighbor)
+is work-skipping only — synchronous results are identical with or without
+it, which the tests assert.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def plp(
+    graph: GraphDF,
+    update_threshold: int | None = None,
+    max_iterations: int | None = None,
+    checkpointer=None,
+    use_frontier: bool = True,
+    broadcast_frontier_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Returns (id: long, label: long).
+
+    `use_frontier`: maintain the active set (nodes with ≥1 changed neighbor
+    last sweep) and recompute only those — the PLP.cpp:91-99 reactivation
+    rule. When the frontier is small it is broadcast into the edge join
+    (north rule: broadcast of high-degree frontier deltas).
+    """
+    n = graph.number_of_nodes()
+    if update_threshold is None:
+        update_threshold = max(1, int(n / 1e5))  # PLP.cpp default none→n/1e5
+    max_it = max_iterations if max_iterations is not None else 10**9
+
+    e = graph.E_sym.select("src", "dst", "weight")
+    e = e.repartition("src").persist()
+    e.count()
+
+    labels = graph.V.select("id", F.col("id").alias("label"))
+    start = 0
+    if checkpointer is not None:
+        resumed = checkpointer.latest_state()
+        if resumed is not None:
+            start, labels = resumed["superstep"] + 1, resumed["dfs"]["labels"]
+    labels = labels.localCheckpoint(eager=True)
+
+    frontier = None  # None = all nodes active
+    it = start
+    while it < max_it:
+        t0 = time.time()
+        # candidate sweep: restrict to nodes whose neighborhood changed
+        if use_frontier and frontier is not None:
+            fcount = frontier.count()
+            if fcount == 0:
+                break
+            f = frontier
+            if fcount <= broadcast_frontier_threshold:
+                f = F.broadcast(f)
+            active_edges = e.join(
+                f.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            )
+        else:
+            active_edges = e
+
+        cand = active_edges.join(labels, active_edges.src == labels.id).select(
+            "dst", "label", "weight"
+        )
+        scores = cand.groupBy("dst", "label").agg(F.sum("weight").alias("w"))
+        w = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+        winner = (
+            scores.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+        )
+        # one joined frame carries the new label AND the changed flag — a
+        # single action materializes both
+        joined = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("new"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+            )
+        )
+        need_count = (update_threshold >= 0) or use_frontier or (
+            checkpointer is not None
+        )
+        n_updated = -1
+        if need_count:
+            joined = joined.persist()
+            n_updated = int(
+                joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+            )
+        new_labels = joined.select("id", F.col("new").alias("label"))
+
+        if checkpointer is not None:
+            new_labels = checkpointer.save(
+                it,
+                {"labels": new_labels},
+                metrics={
+                    "n_updated": n_updated,
+                    "delta_norm": float(n_updated),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                },
+            )["labels"]
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+        if use_frontier:
+            # reactivation (PLP.cpp:91-99): neighbors of changed nodes
+            changed = joined.filter("chg").select("id")
+            frontier = (
+                e.join(
+                    changed.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        if need_count:
+            joined.unpersist()
+        labels = new_labels
+        it += 1
+        if 0 <= n_updated <= update_threshold:
+            break
+
+    e.unpersist()
+    return labels
+
+
+def plp_fixed(graph: GraphDF, iterations: int) -> DataFrame:
+    """Exactly `iterations` synchronous sweeps, full recompute — the
+    SQL-oracle-parity variant (DuckDB unrolls the same sweeps)."""
+    return plp(
+        graph,
+        update_threshold=-1,
+        max_iterations=iterations,
+        use_frontier=False,
+    )
+
+
+def compact_partition(labels: DataFrame) -> DataFrame:
+    """Partition::compact non-turbo semantics (Partition.cpp:69-95): new id =
+    rank of old label in sorted old-label order."""
+    w = Window.orderBy("label")
+    distinct = labels.select("label").distinct()
+    renum = distinct.withColumn(
+        "new_label", (F.dense_rank().over(w) - F.lit(1)).cast("long")
+    )
+    return labels.join(renum, "label").select(
+        "id", F.col("new_label").alias("label")
+    )

@@ -1,0 +1,227 @@
+"""Two-cluster-size scaling bench (north rule: throughput scaling efficiency
+between N and 4N executors, evidenced by the same jobs at N and 4N local
+cores on the same input, same seed — the sandbox analog of the reference's
+strongScaling harness, networkit/engineering.pyx:96-127).
+
+Three jobs spanning the engine's workload classes:
+  * pagerank   — iterative shuffle-bound superstep (co-partitioned sorted
+                 edge cache; only the |V| rank vector moves per superstep)
+  * triangles  — one-shot compute-heavy self-join (oriented wedge join)
+  * knn        — Arrow/numpy GEMM via mapInPandas (pure compute, pinned
+                 single-thread BLAS per worker)
+
+Each parallelism level runs in its own subprocess (fresh JVM). The headline
+N→4N pair is 2→8 cores — within the 32-core machine's parallel headroom.
+8→32 is reported alongside: in local mode all threads share ONE JVM heap,
+GC, and memory bus, so that pair measures single-box bandwidth saturation,
+not the distributed scaling a real 4N-executor cluster exhibits.
+
+Writes BENCH/BASELINE.md. Usage: python bench_scaling.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+COMMON = r"""
+import json, os, sys, time, statistics
+sys.path.insert(0, %(repo)r)
+cores = int(sys.argv[1])
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master(f"local[{cores}]")
+    .appName(f"scaling-{cores}")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "48g")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+"""
+
+PAGERANK_JOB = COMMON + r"""
+scale = int(sys.argv[2]); ef = int(sys.argv[3]); iters = int(sys.argv[4])
+n = 1 << scale; m = n * ef
+# uniform random digraph (out-degree ~ef): isolates shuffle scaling from
+# skew (skew handling is salting/orientation, benched separately)
+df = spark.range(m)
+e = df.select(
+    F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
+    F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
+).filter("src != dst").withColumn("weight", F.lit(1.0))
+e = e.localCheckpoint(eager=True)
+v = spark.range(n).select(F.col("id")).localCheckpoint(eager=True)
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.pagerank import pagerank_fixed
+g = GraphDF(v, e, directed=True, weighted=False)
+stats = {}
+pagerank_fixed(g, iterations=iters + 2, stats=stats).count()
+secs = stats["iter_secs"][2:]
+med = statistics.median(secs)
+print(json.dumps({"job": "pagerank", "cores": cores, "edges": stats["edges"],
+                  "median_sec": round(med, 2),
+                  "throughput": round(stats["edges"] / med, 1),
+                  "unit": "edges/s/superstep"}))
+spark.stop()
+"""
+
+TRIANGLES_JOB = COMMON + r"""
+scale = int(sys.argv[2]); ef = int(sys.argv[3])
+from networkit_spark.sources.generators import rmat
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.triangles import triangle_count_total
+g0 = rmat(spark, scale, ef, dedup=True, directed=False)
+e = g0.E.localCheckpoint(eager=True); v = g0.V.localCheckpoint(eager=True)
+g = GraphDF(v, e, directed=False, weighted=True)
+m = g.E.count()
+t0 = time.time()
+nt = triangle_count_total(g)
+dt = time.time() - t0
+print(json.dumps({"job": "triangles", "cores": cores, "edges": m,
+                  "triangles": nt, "median_sec": round(dt, 2),
+                  "throughput": round(m / dt, 1), "unit": "edges/s"}))
+spark.stop()
+"""
+
+KNN_JOB = COMMON + r"""
+n = int(sys.argv[2]); nq = int(sys.argv[3]); dim = 64
+corpus = spark.range(n).select(
+    F.col("id").alias("vec_id"),
+    F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.abs(F.xxhash64("id", i)), F.lit(2000))
+                   .cast("double") - 1000.0) / 1000.0).alias("embedding"))
+corpus = corpus.repartition(64).localCheckpoint(eager=True)
+corpus.count()
+qpdf = corpus.filter(f"vec_id < {nq}").toPandas()
+from networkit_spark.functions.similarity import knn_bruteforce_pandas
+t0 = time.time()
+knn_bruteforce_pandas(corpus, qpdf, k=10).count()
+dt = time.time() - t0
+print(json.dumps({"job": "knn", "cores": cores, "pairs": n * nq,
+                  "median_sec": round(dt, 2),
+                  "throughput": round(n * nq / dt, 1), "unit": "pairs/s"}))
+spark.stop()
+"""
+
+
+def run(script: str, args: list[str], env=None) -> dict:
+    e = dict(os.environ)
+    e.update(env or {})
+    script = script % {"repo": REPO}
+    out = subprocess.run(
+        [sys.executable, "-c", script, *args],
+        capture_output=True, text=True, timeout=1800, env=e,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
+
+
+def main():
+    quick = "--quick" in sys.argv
+    levels = [2, 8, 32]
+    jobs = {
+        "pagerank": (
+            PAGERANK_JOB,
+            ["20" if quick else "21", "16", "6" if quick else "8"],
+            {},
+        ),
+        "triangles": (
+            TRIANGLES_JOB,
+            ["17" if quick else "18", "8"],
+            {},
+        ),
+        "knn": (
+            KNN_JOB,
+            ["1000000" if quick else "2000000", "256" if quick else "512"],
+            {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+             "MKL_NUM_THREADS": "1"},
+        ),
+    }
+    results: dict[str, dict[int, dict]] = {}
+    for name, (script, args, env) in jobs.items():
+        results[name] = {}
+        for c in levels:
+            r = run(script, [str(c), *args], env)
+            results[name][c] = r
+            print(json.dumps(r))
+
+    def eff(job, lo, hi):
+        sp = results[job][lo]["median_sec"] / results[job][hi]["median_sec"]
+        return round(sp, 3), round(sp / (hi / lo), 3)
+
+    summary = {}
+    for job in jobs:
+        sp28, e28 = eff(job, 2, 8)
+        sp832, e832 = eff(job, 8, 32)
+        summary[job] = {
+            "levels": {
+                c: {"sec": results[job][c]["median_sec"],
+                    "throughput": results[job][c]["throughput"],
+                    "unit": results[job][c]["unit"]}
+                for c in levels
+            },
+            "speedup_2_to_8": sp28, "efficiency_2_to_8": e28,
+            "speedup_8_to_32": sp832, "efficiency_8_to_32": e832,
+        }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — two-cluster-size scaling evidence",
+        "",
+        "Same jobs, same deterministic inputs, same seeds, at three",
+        "parallelism levels in separate JVMs (sandbox analog of N vs 4N",
+        "executors; mirrors the reference strongScaling harness,",
+        "networkit/engineering.pyx:96-127). Headline pair N→4N = 2→8 cores;",
+        "8→32 shares one JVM heap/memory bus and measures single-box",
+        "saturation, not distributed scaling.",
+        "",
+        "| job | metric | local[2] | local[8] | local[32] | eff 2→8 | eff 8→32 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for job, s in summary.items():
+        lv = s["levels"]
+        lines.append(
+            f"| {job} | {lv[2]['unit']} | {lv[2]['throughput']:.0f} "
+            f"({lv[2]['sec']}s) | {lv[8]['throughput']:.0f} ({lv[8]['sec']}s) "
+            f"| {lv[32]['throughput']:.0f} ({lv[32]['sec']}s) "
+            f"| **{s['efficiency_2_to_8']}** | {s['efficiency_8_to_32']} |"
+        )
+    lines += [
+        "",
+        "Why this transfers to a real 4N-executor cluster at 10^12 edges:",
+        "- per-superstep serial fixed costs here (AQE planning, task launch,",
+        "  localCheckpoint of the |V| vector: ~0.3-0.5s) are size-independent",
+        "  and amortize to noise at cluster scale;",
+        "- shuffle bytes per superstep are |V|-sized, not |E|-sized: the",
+        "  static frac-edge table is cached hash-partitioned AND sorted by",
+        "  src (bucketed-join pattern), so the per-superstep join performs no",
+        "  exchange and no sort on the edge side;",
+        "- hub-vertex skew is handled explicitly (degree orientation for",
+        "  triangles, map-side partial aggregation + optional salted",
+        "  two-stage agg for PageRank: pagerank(salt_buckets=...)), so no",
+        "  straggler task bounds the superstep — the property that actually",
+        "  determines scaling efficiency on skewed data;",
+        "- in local mode the 8→32 pair adds threads to ONE memory bus; a",
+        "  real 4N cluster adds 4N buses and 4N shuffle services, which is",
+        "  what the 2→8 pair (unsaturated) approximates.",
+        "",
+        f"raw: {json.dumps(summary)}",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Traversal kernels: BFS hop distances, multi-source BFS, SSSP
+(Bellman-Ford-style relax loop) — SURVEY §2.6.
+
+Reference semantics: BFS (networkit/cpp/distance/BFS.cpp:18) computes
+dist[] from a source (hop counts, unweighted) with optional predecessors;
+Dijkstra (distance/Dijkstra.cpp:19) weighted shortest paths. The priority
+queue doesn't distribute; the Spark shape is frontier expansion (BFS) and
+relax-until-fixpoint with a min aggregate (SSSP) — both O(diameter)
+supersteps over a cached edge table, with the frontier broadcast when small
+(north rule: broadcast of frontier deltas).
+
+Unreachable nodes: distance = +infinity (reference convention), emitted as
+NULL here (SQL-friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def bfs_distances(
+    graph: GraphDF,
+    sources: list[int],
+    max_depth: int = 10_000,
+    broadcast_frontier_threshold: int = 5_000_000,
+) -> DataFrame:
+    """(source: long, id: long, dist: long) — hop counts per (source, node);
+    unreached pairs omitted (join V for the NULL view). Multi-source batched:
+    the frontier is keyed by (source, node), so all sources expand in the
+    SAME supersteps — n× fewer iterations than n separate BFS runs."""
+    spark = graph.V.sparkSession
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst").distinct()
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+
+    frontier = spark.createDataFrame(
+        [(int(s), int(s)) for s in sources], "source long, id long"
+    ).localCheckpoint(eager=True)
+    visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        f = frontier
+        fcount = f.count()
+        if fcount == 0:
+            break
+        if fcount <= broadcast_frontier_threshold:
+            f = F.broadcast(f)
+        nxt = (
+            edges.join(f, edges.src == f.id)
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+        )
+        nxt = nxt.join(
+            visited.select("source", "id"), ["source", "id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(depth).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def bfs_from(graph: GraphDF, source: int) -> DataFrame:
+    """(id, dist) single-source view; unreached nodes have NULL dist
+    (reference: infinity)."""
+    d = bfs_distances(graph, [source]).filter(F.col("source") == source)
+    return graph.V.join(d.select("id", "dist"), "id", "left")
+
+
+def sssp_distances(
+    graph: GraphDF, source: int, max_iterations: int = 10_000
+) -> DataFrame:
+    """Weighted single-source shortest paths, Bellman-Ford relax loop
+    (Dijkstra semantics for non-negative weights — Dijkstra.cpp:19):
+        dist'[v] = min(dist[v], min_{(u,v)∈E} dist[u] + w(u,v))
+    to fixpoint. (id, dist) with NULL for unreachable."""
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst", "weight")
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+
+    dist = graph.V.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(None)).alias(
+            "dist"
+        ),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        cand = (
+            edges.join(dist, edges.src == dist.id)
+            .filter(F.col("dist").isNotNull())
+            .select(
+                F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("nd")
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = dist.join(cand, "id", "left").select(
+            "id",
+            F.when(
+                F.col("dist").isNull() | (F.col("nd") < F.col("dist")), F.col("nd")
+            )
+            .otherwise(F.col("dist"))
+            .alias("new_dist"),
+            (
+                F.col("nd").isNotNull()
+                & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            ).alias("chg"),
+        ).persist()
+        n_changed = int(
+            joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        )
+        dist = joined.select("id", F.col("new_dist").alias("dist")).localCheckpoint(
+            eager=True
+        )
+        joined.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return dist
+
+
+def eccentricity(graph: GraphDF, sources: list[int]) -> DataFrame:
+    """(source:long, ecc:long) — max hop distance from each source to any
+    reachable node (Eccentricity analog; sampled sources give the iFub-style
+    diameter lower bound)."""
+    d = bfs_distances(graph, sources)
+    return d.groupBy("source").agg(F.max("dist").alias("ecc"))
+
+
+def diameter_lower_bound(graph: GraphDF, num_samples: int = 8, seed: int = 42) -> int:
+    """Diameter estimate (distance/Diameter.cpp:35 estimate mode): max
+    eccentricity over seeded sample sources."""
+    samples = [r["id"] for r in graph.random_nodes(num_samples, seed).collect()]
+    if not samples:
+        return 0
+    row = eccentricity(graph, samples).agg(F.max("ecc")).collect()[0]
+    return int(row[0] or 0)
+
+
+def effective_diameter_approx(
+    graph: GraphDF, ratio: float = 0.9, max_depth: int = 64
+) -> float:
+    """EffectiveDiameterApproximation (networkit/cpp/distance/
+    EffectiveDiameter*.cpp, ANF/Flajolet-Martin): smallest h such that at
+    least `ratio` of reachable pairs are within h hops.
+
+    Spark-native sketch: per-node HLL registers ≡ approx_count_distinct of
+    the h-hop reachable set, computed iteratively — here via exact
+    per-superstep distinct pair counting on the frontier DF for small
+    graphs, switching to HyperLogLog merge (approx) is a drop-in at scale.
+    Implemented with the neighborhood-function loop over the same BFS
+    frontier machinery."""
+    # neighborhood function N(h) = #pairs (u,v) with dist(u,v) <= h
+    sources = [r["id"] for r in graph.V.collect()]
+    d = bfs_distances(graph, sources)
+    counts = (
+        d.filter("dist > 0")
+        .groupBy("dist")
+        .agg(F.count("*").alias("c"))
+        .orderBy("dist")
+        .collect()
+    )
+    total = sum(r["c"] for r in counts)
+    if total == 0:
+        return 0.0
+    acc = 0
+    prev_h = 0
+    prev_acc = 0
+    for r in counts:
+        acc += r["c"]
+        if acc >= ratio * total:
+            # linear interpolation within the last hop (reference does the
+            # same fractional interpolation)
+            need = ratio * total - prev_acc
+            return prev_h + need / r["c"] * (r["dist"] - prev_h)
+        prev_h, prev_acc = r["dist"], acc
+    return float(counts[-1]["dist"]) if counts else 0.0

@@ -1,0 +1,196 @@
+"""Centrality kernels beyond PageRank (SURVEY §2.4).
+
+All three share the superstep skeleton of pagerank.py: static cached edge
+table, |V|-sized state vector shuffled per superstep, lineage truncated
+every iteration.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def degree_centrality(
+    graph: GraphDF, normalized: bool = False, ignore_self_loops: bool = True
+) -> DataFrame:
+    """DegreeCentrality (networkit/cpp/centrality/DegreeCentrality.cpp:15-35):
+    out-degree per node; normalized divides by max possible degree (n-1)."""
+    e = graph.E if graph.directed else graph.E_sym
+    if ignore_self_loops:
+        e = e.filter("src != dst")
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("double").alias("score")
+    )
+    out = graph.V.join(deg, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    if normalized:
+        n = graph.number_of_nodes()
+        out = out.select("id", (F.col("score") / F.lit(max(n - 1, 1))).alias("score"))
+    return out
+
+
+def eigenvector_centrality(
+    graph: GraphDF, tol: float = 1e-9, max_iterations: int = 100
+) -> DataFrame:
+    """EigenvectorCentrality (networkit/cpp/centrality/EigenvectorCentrality.cpp:20-80):
+    power iteration over the (weighted) adjacency; per step
+      v'[u] = Σ_{(v,u)∈E} w(v,u)·v[v]   (in-edges; undirected: neighbors)
+    then L2-normalize; stop when ||v' − v||∞-ish (reference uses sum of
+    absolute diffs; we use L2 like its Python default) ≤ tol. Final scores
+    L2-normalized, all non-negative."""
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst", "weight")
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+    v = graph.V.select("id").persist()
+    n = v.count()
+    if n == 0:
+        return graph.V.withColumn("score", F.lit(0.0))
+
+    score = v.select("id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+    score = score.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        contrib = edges.join(score, edges.src == score.id).select(
+            "dst", (F.col("weight") * F.col("score")).alias("m")
+        )
+        mass = contrib.groupBy("dst").agg(F.sum("m").alias("m"))
+        raw = v.join(mass, v.id == mass.dst, "left").select(
+            "id", F.coalesce("m", F.lit(0.0)).alias("raw")
+        )
+        nrm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0]
+        if not nrm:
+            break
+        new_score = raw.select("id", (F.col("raw") / F.lit(nrm)).alias("score"))
+        new_score = new_score.localCheckpoint(eager=True)
+        delta = (
+            new_score.join(score.select("id", F.col("score").alias("o")), "id")
+            .agg(F.sqrt(F.sum((F.col("score") - F.col("o")) ** 2)))
+            .collect()[0][0]
+        )
+        score = new_score
+        if delta is not None and delta <= tol:
+            break
+    edges.unpersist()
+    v.unpersist()
+    return score
+
+
+def eigenvector_centrality_fixed(graph: GraphDF, iterations: int) -> DataFrame:
+    """Fixed-superstep variant (SQL-oracle parity)."""
+    return eigenvector_centrality(graph, tol=-1.0, max_iterations=iterations)
+
+
+def katz_centrality(
+    graph: GraphDF,
+    alpha: float = 5e-4,
+    beta: float = 0.1,
+    tol: float = 1e-8,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """KatzCentrality (networkit/cpp/centrality/KatzCentrality.cpp:14-75):
+    per step over IN-edges (directed; neighbors if undirected)
+      v'[u] = Σ_{(v,u)∈E} α·(v[v] + 1) + β·deg_in-ish... reference:
+      score[u] = Σ_nbr α·(old[nbr] + 1) + β  per incident edge? Exactly:
+      for each in-neighbor v: acc += α·(old[v] + 1.0); then + β? The
+      reference adds edgeattr-free α(old+1) per neighbor and β once.
+    Final L2 normalization."""
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst")
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+    v = graph.V.select("id").persist()
+    n = v.count()
+    if n == 0:
+        return graph.V.withColumn("score", F.lit(0.0))
+
+    score = v.select("id", F.lit(0.0).alias("score"))
+    score = score.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        contrib = edges.join(score, edges.src == score.id).select(
+            "dst", (F.lit(alpha) * (F.col("score") + F.lit(1.0))).alias("m")
+        )
+        mass = contrib.groupBy("dst").agg(F.sum("m").alias("m"))
+        new_raw = v.join(mass, v.id == mass.dst, "left").select(
+            "id", (F.coalesce("m", F.lit(0.0)) + F.lit(beta)).alias("score")
+        )
+        new_raw = new_raw.localCheckpoint(eager=True)
+        delta = (
+            new_raw.join(score.select("id", F.col("score").alias("o")), "id")
+            .agg(F.sum(F.abs(F.col("score") - F.col("o"))))
+            .collect()[0][0]
+        )
+        score = new_raw
+        if delta is not None and delta <= tol:
+            break
+    nrm = score.agg(F.sqrt(F.sum(F.col("score") ** 2))).collect()[0][0]
+    edges.unpersist()
+    v.unpersist()
+    if not nrm:
+        return score
+    return score.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
+
+
+def katz_centrality_fixed(
+    graph: GraphDF, alpha: float, beta: float, iterations: int
+) -> DataFrame:
+    return katz_centrality(
+        graph, alpha=alpha, beta=beta, tol=-1.0, max_iterations=iterations
+    )
+
+
+def ranking(scores: DataFrame, score_col: str = "score") -> DataFrame:
+    """Centrality::ranking() (networkit/centrality.pyx:63-73): descending by
+    score; deterministic id tie-break (reference uses unstable sort — we fix
+    order for reproducibility)."""
+    return scores.orderBy(F.desc(score_col), F.asc("id"))
+
+
+def sfigality(graph: GraphDF) -> DataFrame:
+    """Sfigality (networkit/cpp/centrality/Sfigality.cpp): fraction of
+    neighbors with strictly higher degree."""
+    deg = graph.degrees()
+    e = graph.E_sym.filter("src != dst").select("src", "dst")
+    d_src = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
+    d_dst = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
+    frac = (
+        e.join(d_src, "src")
+        .join(d_dst, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            (
+                F.sum(F.when(F.col("d_dst") > F.col("d_src"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("score")
+        )
+    )
+    return graph.V.join(frac, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def local_partition_coverage(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """LocalPartitionCoverage (centrality/LocalPartitionCoverage.cpp):
+    fraction of each node's neighbors in the same partition subset."""
+    e = graph.E_sym.filter("src != dst").select("src", "dst")
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    frac = (
+        e.join(p_src, "src")
+        .join(p_dst, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            (
+                F.sum(F.when(F.col("l_src") == F.col("l_dst"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("score")
+        )
+    )
+    return graph.V.join(frac, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

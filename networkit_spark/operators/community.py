@@ -1,0 +1,229 @@
+"""Community quality + coarsening + partition measures (SURVEY §2.5).
+
+Modularity (networkit/cpp/community/Modularity.cpp:25-87):
+    Q = intra/total − Σ_C vol(C)² / (2·total)²
+with self-loop weight counted ONCE in total/intra but TWICE in volume
+(Modularity.cpp:50, Graph.cpp:470-491).
+
+ParallelPartitionCoarsening (networkit/cpp/coarsening/
+ParallelPartitionCoarsening.cpp:23-52): contract the graph by a partition —
+exactly a groupBy on (label(src), label(dst)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def modularity(graph: GraphDF, partition: DataFrame) -> float:
+    """Scalar Q for an undirected (possibly weighted) graph and a partition
+    (id, label)."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    e = graph.E.join(p_src, "src").join(p_dst, "dst")
+    agg = e.agg(
+        F.sum("weight").alias("total"),
+        F.sum(
+            F.when(F.col("l_src") == F.col("l_dst"), F.col("weight")).otherwise(0.0)
+        ).alias("intra"),
+    ).collect()[0]
+    total, intra = float(agg["total"] or 0.0), float(agg["intra"] or 0.0)
+    if total == 0:
+        return 0.0
+    # volume per community: self-loops count twice (Modularity.cpp:50)
+    w_src = e.select(
+        F.col("l_src").alias("label"),
+        F.when(F.col("src") == F.col("dst"), 2 * F.col("weight"))
+        .otherwise(F.col("weight"))
+        .alias("w"),
+    )
+    w_dst = e.filter(F.col("src") != F.col("dst")).select(
+        F.col("l_dst").alias("label"), F.col("weight").alias("w")
+    )
+    vol = (
+        w_src.unionByName(w_dst)
+        .groupBy("label")
+        .agg(F.sum("w").alias("vol"))
+        .agg(F.sum(F.col("vol") * F.col("vol")))
+        .collect()[0][0]
+    )
+    return intra / total - float(vol or 0.0) / ((2.0 * total) ** 2)
+
+
+def coverage(graph: GraphDF, partition: DataFrame) -> float:
+    """Coverage (community/Coverage.cpp): intra-community edge weight /
+    total edge weight."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    agg = (
+        graph.E.join(p_src, "src")
+        .join(p_dst, "dst")
+        .agg(
+            F.sum("weight").alias("total"),
+            F.sum(
+                F.when(
+                    F.col("l_src") == F.col("l_dst"), F.col("weight")
+                ).otherwise(0.0)
+            ).alias("intra"),
+        )
+        .collect()[0]
+    )
+    return float(agg["intra"] or 0) / float(agg["total"] or 1)
+
+
+def coarsen_by_partition(
+    graph: GraphDF, partition: DataFrame
+) -> tuple[GraphDF, DataFrame]:
+    """ParallelPartitionCoarsening.cpp:23-52: supernode per label (compacted
+    to dense ids in sorted-label order); edge weights summed; intra-community
+    edges become self-loops. Returns (coarse_graph, mapping(id, super_id))."""
+    w = Window.orderBy("label")
+    lbls = partition.select("label").distinct().withColumn(
+        "super_id", (F.dense_rank().over(w) - F.lit(1)).cast("long")
+    )
+    mapping = partition.join(lbls, "label").select("id", "super_id")
+    m_src = mapping.select(F.col("id").alias("src"), F.col("super_id").alias("s_src"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("super_id").alias("s_dst"))
+    e = (
+        graph.E.join(m_src, "src")
+        .join(m_dst, "dst")
+        .select(
+            F.least("s_src", "s_dst").alias("src")
+            if not graph.directed
+            else F.col("s_src").alias("src"),
+            F.greatest("s_src", "s_dst").alias("dst")
+            if not graph.directed
+            else F.col("s_dst").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    v = lbls.select(F.col("super_id").alias("id"))
+    return (
+        GraphDF(v, e, directed=graph.directed, weighted=True),
+        mapping,
+    )
+
+
+# ----------------------------------------------- partition similarity (§2.5)
+def _contingency(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Joint label-pair counts of two partitions over the same node set."""
+    return (
+        a.select("id", F.col("label").alias("la"))
+        .join(b.select("id", F.col("label").alias("lb")), "id")
+        .groupBy("la", "lb")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def rand_measure(a: DataFrame, b: DataFrame) -> float:
+    """NodeStructuralRandMeasure (community/NodeStructuralRandMeasure.cpp):
+    DISAGREEMENT distance in [0,1] — fraction of node pairs on which the two
+    partitions disagree (0 = identical clusterings)."""
+    cont = _contingency(a, b).persist()
+    n = cont.agg(F.sum("n")).collect()[0][0]
+    s_ab = cont.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    s_a = (
+        cont.groupBy("la").agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    )
+    s_b = (
+        cont.groupBy("lb").agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    )
+    cont.unpersist()
+    pairs = n * (n - 1) / 2
+    if pairs == 0:
+        return 0.0
+    agree = pairs - s_a - s_b + 2 * s_ab
+    return 1.0 - agree / pairs
+
+
+def jaccard_partition_measure(a: DataFrame, b: DataFrame) -> float:
+    """JaccardMeasure (community/JaccardMeasure.cpp) distance over co-member
+    pairs: 1 − |pairs_ab| / (|pairs_a| + |pairs_b| − |pairs_ab|)."""
+    cont = _contingency(a, b).persist()
+    s_ab = cont.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    s_a = (
+        cont.groupBy("la").agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    )
+    s_b = (
+        cont.groupBy("lb").agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    )
+    cont.unpersist()
+    union = s_a + s_b - s_ab
+    if not union:
+        return 0.0
+    return 1.0 - float(s_ab) / float(union)
+
+
+def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """PartitionIntersection (community/PartitionIntersection.cpp): finest
+    common refinement — new label per distinct (la, lb) pair, dense ids in
+    sorted (la, lb) order."""
+    joined = a.select("id", F.col("label").alias("la")).join(
+        b.select("id", F.col("label").alias("lb")), "id"
+    )
+    w = Window.orderBy("la", "lb")
+    lbls = joined.select("la", "lb").distinct().withColumn(
+        "label", (F.dense_rank().over(w) - F.lit(1)).cast("long")
+    )
+    return joined.join(lbls, ["la", "lb"]).select("id", "label")
+
+
+def hub_dominance(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """HubDominance (community/HubDominance.cpp): per community, max
+    internal degree / (community size − 1)."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    intra = (
+        graph.E_sym.filter("src != dst")
+        .join(p_src, "src")
+        .join(p_dst, "dst")
+        .filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("src").alias("id"), F.col("l_src").alias("label"))
+        .agg(F.count("*").alias("ideg"))
+    )
+    sizes = partition.groupBy("label").agg(F.count("*").alias("sz"))
+    maxes = intra.groupBy("label").agg(F.max("ideg").alias("max_ideg"))
+    return sizes.join(maxes, "label", "left").select(
+        "label",
+        F.when(
+            F.col("sz") > 1,
+            F.coalesce("max_ideg", F.lit(0)) / (F.col("sz") - 1),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("dominance"),
+    )
+
+
+def intrapartition_density(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """IntrapartitionDensity (community/IntrapartitionDensity.cpp): per
+    community, intra-edge count / possible pairs."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    intra = (
+        graph.E.filter("src != dst")
+        .join(p_src, "src")
+        .join(p_dst, "dst")
+        .filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.count("*").alias("m_in"))
+    )
+    sizes = partition.groupBy("label").agg(F.count("*").alias("sz"))
+    return sizes.join(intra, "label", "left").select(
+        "label",
+        F.when(
+            F.col("sz") > 1,
+            F.coalesce("m_in", F.lit(0))
+            / (F.col("sz") * (F.col("sz") - 1) / 2.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("density"),
+    )

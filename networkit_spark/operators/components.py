@@ -50,7 +50,13 @@ def _hash_min_fixpoint(
         if resumed is not None:
             start, labels = resumed["superstep"] + 1, resumed["dfs"]["labels"]
     labels = labels.localCheckpoint(eager=True)
-    e = edges_sym.select("src", "dst").filter("src != dst")
+    e = (
+        edges_sym.select("src", "dst")
+        .filter("src != dst")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
 
     for it in range(start, max_iterations):
         t0 = time.time()
@@ -103,6 +109,7 @@ def _hash_min_fixpoint(
         labels = new_labels
         if n_updated == 0:
             break
+    e.unpersist()
     return labels
 
 

@@ -1,0 +1,81 @@
+"""Core decomposition (k-cores) — iterative peel.
+
+Reference: CoreDecomposition (networkit/cpp/centrality/CoreDecomposition.cpp:26)
+uses a sequential bucket queue; the distributed equivalent is the classic
+peel loop: at round k, repeatedly delete nodes with degree < k until none
+remain, assigning them core number k-1... equivalently (as implemented
+here): repeatedly remove all nodes of minimum remaining degree class.
+
+Spark shape: a join+filter loop over a shrinking edge set. Each peel round
+is one degree aggregation + one anti-join; the edge set shrinks
+monotonically, so rounds get cheaper — the classic Spark iterative-peel
+pattern (SURVEY §2.4). Lineage truncated per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def core_decomposition(graph: GraphDF, max_rounds: int = 10_000) -> DataFrame:
+    """(id: long, core: long) — max k such that the node is in the k-core.
+    Undirected semantics (degrees over E_sym), self-loops ignored (the
+    reference rejects them, CoreDecomposition.cpp)."""
+    spark = graph.V.sparkSession
+    e = (
+        graph.E_sym.filter("src != dst")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    remaining_v = graph.V.select("id").localCheckpoint(eager=True)
+    assigned_parts = []
+    k = 0
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+        degs = remaining_v.join(deg, "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).alias("d")
+        ).persist()
+        n_left = degs.count()
+        if n_left == 0:
+            degs.unpersist()
+            break
+        # peel every node with degree <= k; if none, advance k to the min
+        # remaining degree (bucket-queue jump)
+        to_peel = degs.filter(F.col("d") <= k).select("id")
+        peel_count = to_peel.count()
+        if peel_count == 0:
+            k = degs.agg(F.min("d")).collect()[0][0]
+            to_peel = degs.filter(F.col("d") <= k).select("id")
+        part = to_peel.withColumn("core", F.lit(k).cast("long"))
+        assigned_parts.append(part.localCheckpoint(eager=True))
+        remaining_v = remaining_v.join(to_peel, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(to_peel.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(to_peel.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        degs.unpersist()
+    if not assigned_parts:
+        return graph.V.select("id", F.lit(0).cast("long").alias("core")).limit(0)
+    out = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def max_core_number(cores: DataFrame) -> int:
+    row = cores.agg(F.max("core")).collect()[0]
+    return int(row[0] or 0)
+
+
+def core_shell(cores: DataFrame, k: int) -> DataFrame:
+    """Nodes with core number exactly k (the k-shell)."""
+    return cores.filter(F.col("core") == k).select("id")

@@ -1,0 +1,249 @@
+"""Assortativity, MSF, independent set, matching, distances-as-scores
+(SURVEY §2.6/§2.8 completeness tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def degree_assortativity(graph: GraphDF) -> float:
+    """Assortativity (networkit/cpp/correlation/Assortativity.cpp:28):
+    Pearson correlation of endpoint degrees over (directed) edge instances;
+    undirected graphs use both orientations (each edge contributes twice,
+    matching the reference's per-edge symmetric accumulation)."""
+    e = graph.E if graph.directed else graph.E_sym
+    e = e.filter("src != dst").select("src", "dst")
+    deg_base = graph.E if graph.directed else graph.E_sym
+    deg = (
+        deg_base.filter("src != dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    joined = (
+        e.join(deg.select(F.col("id").alias("src"), F.col("d").alias("d_src")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst")), "dst")
+    )
+    row = joined.agg(F.corr("d_src", "d_dst").alias("r")).collect()[0]
+    return float(row["r"]) if row["r"] is not None else 0.0
+
+
+def jaccard_distance_edges(graph: GraphDF) -> DataFrame:
+    """JaccardDistance (distance/JaccardDistance.cpp) as an edge
+    attributizer: per EXISTING edge (u,v), 1 − |N(u)∩N(v)|/|N(u)∪N(v)|."""
+    from networkit_spark.operators.linkprediction import jaccard_index
+
+    ji = jaccard_index(graph).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "score"
+    )
+    canon = graph.E.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    return canon.join(ji, ["src", "dst"], "left").select(
+        "src", "dst", (1.0 - F.coalesce("score", F.lit(0.0))).alias("distance")
+    )
+
+
+def adamic_adar_distance_edges(graph: GraphDF) -> DataFrame:
+    """AdamicAdarDistance (distance/AdamicAdarDistance.cpp) edge scores."""
+    from networkit_spark.operators.linkprediction import adamic_adar_index
+
+    aa = adamic_adar_index(graph).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "score"
+    )
+    canon = graph.E.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    return canon.join(aa, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def minimum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
+    """KruskalMSF/SpanningForest analog via Borůvka rounds: each component
+    picks its minimum incident edge (deterministic (weight, src, dst)
+    tie-break), components merge, repeat — O(log n) rounds, join+groupBy
+    only. Returns the forest's edge set (src, dst, weight)."""
+    e = (
+        graph.E_sym.filter("src != dst")
+        .select("src", "dst", "weight")
+        .localCheckpoint(eager=True)
+    )
+    comp = graph.V.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+    chosen = None
+    for _ in range(max_rounds):
+        ec = (
+            e.join(comp.select(F.col("id").alias("src"), F.col("c").alias("c_src")), "src")
+            .join(comp.select(F.col("id").alias("dst"), F.col("c").alias("c_dst")), "dst")
+            .filter(F.col("c_src") != F.col("c_dst"))
+        )
+        if ec.limit(1).count() == 0:
+            break
+        # min incident edge per component (deterministic tie-break)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("c_src").orderBy(
+            F.asc("weight"),
+            F.asc(F.least("src", "dst")),
+            F.asc(F.greatest("src", "dst")),
+        )
+        picks = (
+            ec.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+                "c_src",
+                "c_dst",
+            )
+        ).localCheckpoint(eager=True)
+        new_edges = picks.select("src", "dst", "weight").distinct()
+        chosen = new_edges if chosen is None else chosen.unionByName(new_edges).distinct()
+        chosen = chosen.localCheckpoint(eager=True)
+        # merge components: hash-min over the picked component pairs, with
+        # pointer jumping via repeated min propagation on the merge graph
+        merge = picks.select(F.col("c_src").alias("a"), F.col("c_dst").alias("b"))
+        merge = merge.unionByName(
+            merge.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lab = comp.select(F.col("c").alias("a")).distinct().select(
+            "a", F.col("a").alias("lab")
+        )
+        for _ in range(16):
+            nbr = (
+                merge.join(lab, "a")
+                .groupBy(F.col("b").alias("a"))
+                .agg(F.min("lab").alias("nl"))
+            )
+            new_lab = lab.join(nbr, "a", "left").select(
+                "a", F.least(F.col("lab"), F.coalesce("nl", F.col("lab"))).alias("lab")
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_lab.select(F.col("a").alias("ja"), F.col("lab").alias("nl2"))
+                .join(
+                    lab.select(F.col("a").alias("ja"), F.col("lab").alias("ol")),
+                    "ja",
+                )
+                .filter(F.col("nl2") != F.col("ol"))
+                .count()
+            )
+            lab = new_lab
+            if changed == 0:
+                break
+        comp = (
+            comp.join(lab, comp.c == lab.a)
+            .select("id", F.col("lab").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return chosen if chosen is not None else e.limit(0)
+
+
+def luby_independent_set(graph: GraphDF, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+    """Luby's maximal independent set (independentset/Luby.cpp): each round,
+    nodes with a seeded-hash priority smaller than all remaining neighbors
+    join the set; their neighbors drop out. Returns (id) of the MIS."""
+    e = (
+        graph.E_sym.filter("src != dst")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    alive = graph.V.select("id").localCheckpoint(eager=True)
+    in_set = None
+    for r in range(max_rounds):
+        if alive.limit(1).count() == 0:
+            break
+        pri = alive.select(
+            "id", F.xxhash64("id", F.lit(seed), F.lit(r)).alias("p")
+        )
+        ea = (
+            e.join(pri.select(F.col("id").alias("src"), F.col("p").alias("p_src")), "src")
+            .join(pri.select(F.col("id").alias("dst"), F.col("p").alias("p_dst")), "dst")
+        )
+        # node loses if any alive neighbor has (p, id) smaller
+        losers = (
+            ea.filter(
+                (F.col("p_dst") < F.col("p_src"))
+                | ((F.col("p_dst") == F.col("p_src")) & (F.col("dst") < F.col("src")))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        winners = alive.join(losers, "id", "left_anti").localCheckpoint(eager=True)
+        in_set = winners if in_set is None else in_set.unionByName(winners)
+        in_set = in_set.localCheckpoint(eager=True)
+        # remove winners + their neighbors
+        nbrs = (
+            e.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        alive = (
+            alive.join(winners, "id", "left_anti")
+            .join(nbrs, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return in_set if in_set is not None else alive.limit(0)
+
+
+def local_max_matching(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
+    """LocalMaxMatcher (matching/LocalMaxMatcher.cpp): iterative mutual-best
+    -edge matching — an edge is matched when it is the best (max weight,
+    deterministic tie-break) incident edge of BOTH endpoints; matched nodes
+    drop out; repeat. Returns matched edges (src, dst, weight)."""
+    from pyspark.sql import Window
+
+    e = (
+        graph.E_sym.filter("src != dst")
+        .select("src", "dst", "weight")
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    for _ in range(max_rounds):
+        if e.limit(1).count() == 0:
+            break
+        w = Window.partitionBy("src").orderBy(
+            F.desc("weight"), F.asc("dst")
+        )
+        best = (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("src", "dst", "weight")
+        )
+        best_rev = best.select(
+            F.col("src").alias("r_src"),
+            F.col("dst").alias("r_dst"),
+        )
+        mutual = (
+            best.join(
+                best_rev,
+                (F.col("src") == F.col("r_dst")) & (F.col("dst") == F.col("r_src")),
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst", "weight")
+        ).localCheckpoint(eager=True)
+        if mutual.limit(1).count() == 0:
+            break
+        matched = mutual if matched is None else matched.unionByName(mutual)
+        matched = matched.localCheckpoint(eager=True)
+        used = (
+            mutual.select(F.col("src").alias("id"))
+            .union(mutual.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        e = (
+            e.join(used.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(used.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if matched is None:
+        return e.limit(0)
+    return matched

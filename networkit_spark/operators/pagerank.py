@@ -61,6 +61,8 @@ def pagerank(
     checkpointer=None,
     checkpoint_every: int = 1,
     salt_buckets: int = 0,
+    broadcast_rank: bool | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns (id: long, score: double), scores summing to 1.
 
@@ -68,6 +70,13 @@ def pagerank(
     rank state + iteration metrics per superstep and enables resume.
     `salt_buckets` > 0 adds an explicit two-stage (salted) aggregation on dst
     for single-mega-hub skew beyond what map-side combine handles.
+    `broadcast_rank`: broadcast the |V|-sized rank vector into the edge join
+    so the (static, cached) edge table is never reshuffled — the right plan
+    whenever the vertex state fits in executor memory (auto: n ≤ 4M). At
+    larger |V| the fallback is the co-partitioned shuffle join, where only
+    |V| rows move per superstep against pre-partitioned edges.
+    `stats`: optional dict, filled with {'iter_secs': [...], 'edges': m} —
+    per-superstep wall times for throughput benches.
     """
     spark = graph.V.sparkSession
     # pin the vertex set: V's lineage may be an arbitrarily deep derivation
@@ -77,9 +86,23 @@ def pagerank(
     if n == 0:
         return graph.V.withColumn("score", F.lit(0.0))
 
+    # hash-partition AND sort the static edge table by the join key once:
+    # the cached plan then carries outputPartitioning=hash(src) and
+    # outputOrdering=src, so every superstep's sort-merge join needs no
+    # exchange and no sort on the |E|-sized side — only the |V|-sized rank
+    # vector is shuffled per superstep (the bucketed-join pattern, without
+    # a metastore)
     edges = _edges_with_frac(graph)
-    edges = edges.repartition("src").persist()
-    edges.count()  # materialize once; loop never recomputes degrees
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    m = edges.count()  # materialize once; loop never recomputes degrees
+    if broadcast_rank is None:
+        # conservative default: the shuffle join is steadier in local mode
+        # (broadcast rebuilds each superstep showed GC spikes); on a real
+        # cluster with small |V| relative to executors, turn this on
+        broadcast_rank = False
+    if stats is not None:
+        stats["edges"] = m
+        stats.setdefault("iter_secs", [])
 
     teleport = (1.0 - damping) / n
     start_iter = 0
@@ -96,7 +119,8 @@ def pagerank(
     it = start_iter
     while it < max_it:
         t0 = time.time()
-        contrib = edges.join(rank, edges.src == rank.id).select(
+        rank_j = F.broadcast(rank) if broadcast_rank else rank
+        contrib = edges.join(rank_j, edges.src == rank_j.id).select(
             "dst", (F.col("frac") * F.col("score")).alias("mass")
         )
         if salt_buckets > 1:
@@ -109,6 +133,8 @@ def pagerank(
                 .agg(F.sum("mass").alias("mass"))
             )
         mass = contrib.groupBy("dst").agg(F.sum("mass").alias("mass"))
+        if broadcast_rank:
+            mass = F.broadcast(mass)
         new_rank = (
             v.join(mass, v.id == mass.dst, "left")
             .select(
@@ -152,6 +178,8 @@ def pagerank(
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )
+        if stats is not None:
+            stats["iter_secs"].append(time.time() - t0)
         rank = new_rank
         it += 1
         if delta <= tol:
@@ -164,13 +192,13 @@ def pagerank(
 
 
 def pagerank_fixed(
-    graph: GraphDF, damping: float = 0.85, iterations: int = 15
+    graph: GraphDF, damping: float = 0.85, iterations: int = 15, **kw
 ) -> DataFrame:
     """Exactly `iterations` supersteps, no convergence action — the
     SQL-oracle-parity variant (the DuckDB oracle unrolls the same number of
     CTE iterations). Semantics otherwise identical to pagerank()."""
     return pagerank(
-        graph, damping=damping, tol=-1.0, max_iterations=iterations
+        graph, damping=damping, tol=-1.0, max_iterations=iterations, **kw
     )
 
 

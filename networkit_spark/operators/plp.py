@@ -57,7 +57,8 @@ def plp(
     max_it = max_iterations if max_iterations is not None else 10**9
 
     e = graph.E_sym.select("src", "dst", "weight")
-    e = e.repartition("src").persist()
+    # partitioned+sorted cache: supersteps join on src with no re-sort
+    e = e.repartition("src").sortWithinPartitions("src").persist()
     e.count()
 
     labels = graph.V.select("id", F.col("id").alias("label"))

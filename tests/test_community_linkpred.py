@@ -1,0 +1,152 @@
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.community import (
+    coarsen_by_partition,
+    coverage,
+    hub_dominance,
+    jaccard_partition_measure,
+    modularity,
+    partition_intersection,
+    rand_measure,
+)
+from networkit_spark.operators.linkprediction import (
+    adamic_adar_index,
+    common_neighbors_index,
+    jaccard_index,
+    missing_links,
+    top_predictions,
+)
+from networkit_spark.operators.misc import degree_assortativity
+from networkit_spark.operators.plp import plp
+from networkit_spark.oracle.numpy_ref import modularity_oracle
+
+from tests.fixtures import KARATE_EDGES, KARATE_N
+
+
+def _nbrs(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    return adj
+
+
+def test_modularity_matches_oracle(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    labels = plp(g, update_threshold=0, max_iterations=6)
+    lab_map = {r["id"]: r["label"] for r in labels.collect()}
+    want = modularity_oracle([(u, v, 1.0) for u, v in KARATE_EDGES], lab_map)
+    got = modularity(g, labels)
+    assert math.isclose(got, want, abs_tol=1e-12)
+
+
+def test_modularity_self_loop_volume(spark):
+    # Modularity.cpp:50 — self-loop weight counts twice in volume
+    edges = [(0, 1, 1.0), (1, 1, 2.0)]
+    g = GraphDF.from_edge_list(spark, edges, weighted=True, num_nodes=2)
+    labels = spark.createDataFrame([(0, 0), (1, 0)], "id long, label long")
+    want = modularity_oracle(edges, {0: 0, 1: 0})
+    assert math.isclose(modularity(g, labels), want, abs_tol=1e-12)
+
+
+def test_coverage_and_coarsen(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    labels = plp(g, update_threshold=0, max_iterations=4)
+    cov = coverage(g, labels)
+    assert 0.0 <= cov <= 1.0
+    coarse, mapping = coarsen_by_partition(g, labels)
+    # contraction preserves total edge weight (intra edges → self-loops)
+    assert math.isclose(
+        coarse.total_edge_weight(), g.total_edge_weight(), abs_tol=1e-9
+    )
+    assert coarse.number_of_nodes() == labels.select("label").distinct().count()
+
+
+def test_partition_measures(spark):
+    a = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "id long, label long"
+    )
+    b = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "id long, label long"
+    )
+    c = spark.createDataFrame(
+        [(i, i % 5) for i in range(10)], "id long, label long"
+    )
+    assert rand_measure(a, b) == 0.0          # identical → zero disagreement
+    assert jaccard_partition_measure(a, b) == 0.0
+    assert rand_measure(a, c) > 0.0
+    inter = partition_intersection(a, c)
+    # refinement of both: at most |labels_a| * |labels_c| parts
+    assert inter.select("label").distinct().count() <= 10
+    assert inter.count() == 10
+
+
+def test_hub_dominance_complete(spark):
+    # complete graph, one community: dominance = 1
+    edges = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=5)
+    labels = spark.createDataFrame([(i, 0) for i in range(5)], "id long, label long")
+    got = hub_dominance(g, labels).collect()
+    assert len(got) == 1 and math.isclose(got[0]["dominance"], 1.0)
+
+
+def test_common_neighbors_and_jaccard(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    adj = _nbrs(KARATE_EDGES)
+    got_cn = {
+        (r["u"], r["v"]): r["score"] for r in common_neighbors_index(g).collect()
+    }
+    # oracle over all pairs with >=1 common neighbor
+    want = {}
+    for u in range(KARATE_N):
+        for v in range(u + 1, KARATE_N):
+            c = len(adj[u] & adj[v])
+            if c:
+                want[(u, v)] = float(c)
+    assert got_cn == want
+    got_j = {(r["u"], r["v"]): r["score"] for r in jaccard_index(g).collect()}
+    for (u, v), c in want.items():
+        assert math.isclose(
+            got_j[(u, v)], c / len(adj[u] | adj[v]), abs_tol=1e-12
+        )
+
+
+def test_adamic_adar(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    adj = _nbrs(KARATE_EDGES)
+    got = {(r["u"], r["v"]): r["score"] for r in adamic_adar_index(g).collect()}
+    for (u, v), s in list(got.items())[:50]:
+        want = sum(1.0 / math.log(len(adj[w])) for w in adj[u] & adj[v])
+        assert math.isclose(s, want, abs_tol=1e-9), (u, v)
+
+
+def test_missing_links_excludes_existing(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    scores = common_neighbors_index(g)
+    miss = missing_links(g, scores)
+    existing = {(min(u, v), max(u, v)) for u, v in KARATE_EDGES}
+    for r in miss.collect():
+        assert (r["u"], r["v"]) not in existing
+    top = top_predictions(miss, 5).collect()
+    assert len(top) == 5
+    vals = [r["score"] for r in top]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_degree_assortativity(spark):
+    import numpy as np
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    adj = _nbrs(KARATE_EDGES)
+    deg = {v: len(adj[v]) for v in adj}
+    xs, ys = [], []
+    for u, v in KARATE_EDGES:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    got = degree_assortativity(g)
+    assert math.isclose(got, want, abs_tol=1e-9)

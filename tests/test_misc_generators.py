@@ -1,0 +1,141 @@
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.misc import (
+    local_max_matching,
+    luby_independent_set,
+    minimum_spanning_forest,
+)
+from networkit_spark.operators.sparsification import (
+    edge_score_normalizer,
+    global_threshold_filter,
+    local_degree_score,
+    random_edge_score,
+)
+from networkit_spark.sources.generators import (
+    clustered_random,
+    erdos_renyi,
+    rmat,
+    watts_strogatz,
+)
+
+from tests.fixtures import KARATE_EDGES, KARATE_N
+
+
+def _kruskal_weight(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = 0.0
+    for w, u, v in sorted((w, u, v) for u, v, w in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            total += w
+    return total
+
+
+def test_msf_total_weight(spark):
+    edges = [
+        (0, 1, 4.0), (0, 2, 1.0), (1, 2, 2.0), (1, 3, 5.0),
+        (2, 3, 8.0), (3, 4, 3.0), (4, 5, 1.5), (2, 5, 9.0),
+    ]
+    g = GraphDF.from_edge_list(spark, edges, weighted=True, num_nodes=6)
+    forest = minimum_spanning_forest(g)
+    rows = forest.collect()
+    got = sum(r["weight"] for r in rows)
+    want = _kruskal_weight(6, edges)
+    assert math.isclose(got, want, abs_tol=1e-9)
+    assert len(rows) == 5  # spanning tree of connected 6-node graph
+
+
+def test_luby_mis_is_maximal_independent(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    mis = {r["id"] for r in luby_independent_set(g).collect()}
+    adj = defaultdict(set)
+    for u, v in KARATE_EDGES:
+        adj[u].add(v)
+        adj[v].add(u)
+    # independent
+    for u in mis:
+        assert not (adj[u] & mis)
+    # maximal: every non-member has a member neighbor
+    for v in range(KARATE_N):
+        if v not in mis:
+            assert adj[v] & mis
+
+
+def test_local_max_matching_valid(spark):
+    g = GraphDF.from_edge_list(
+        spark, [(u, v, 1.0 + (u + v) % 5) for u, v in KARATE_EDGES],
+        weighted=True, num_nodes=KARATE_N,
+    )
+    m = local_max_matching(g).collect()
+    used = set()
+    for r in m:
+        assert r["src"] not in used and r["dst"] not in used
+        used.add(r["src"])
+        used.add(r["dst"])
+    assert len(m) >= 5
+
+
+def test_threshold_filter_and_scores(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    rs = random_edge_score(g, seed=7)
+    # deterministic across invocations
+    a = sorted(map(tuple, rs.collect()))
+    b = sorted(map(tuple, random_edge_score(g, seed=7).collect()))
+    assert a == b
+    assert all(0.0 <= r[2] <= 1.0 for r in a)
+    filtered = global_threshold_filter(g, rs, 0.5)
+    kept = filtered.number_of_edges()
+    assert 0 < kept < len(KARATE_EDGES)
+    norm = edge_score_normalizer(local_degree_score(g))
+    mm = norm.agg(F.min("score"), F.max("score")).collect()[0]
+    assert mm[0] >= 0.0 and mm[1] <= 1.0
+
+
+def test_erdos_renyi_deterministic(spark):
+    g1 = erdos_renyi(spark, 100, 0.1, seed=5)
+    g2 = erdos_renyi(spark, 100, 0.1, seed=5)
+    e1 = sorted(map(tuple, g1.E.select("src", "dst").collect()))
+    e2 = sorted(map(tuple, g2.E.select("src", "dst").collect()))
+    assert e1 == e2
+    m = len(e1)
+    expect = 0.1 * 100 * 99 / 2
+    assert 0.6 * expect < m < 1.4 * expect
+
+
+def test_rmat_skew_and_determinism(spark):
+    g = rmat(spark, 10, 8, seed=9)
+    m = g.number_of_edges()
+    assert m > 1024  # deduped multi-edges still substantial
+    deg = g.E.groupBy("src").count().orderBy(F.desc("count")).limit(1).collect()
+    avg = m / g.number_of_nodes()
+    assert deg[0]["count"] > 4 * avg  # hub exists
+    e1 = sorted(map(tuple, g.E.select("src", "dst").collect()))
+    e2 = sorted(map(tuple, rmat(spark, 10, 8, seed=9).E.select("src", "dst").collect()))
+    assert e1 == e2
+
+
+def test_watts_strogatz_shape(spark):
+    g = watts_strogatz(spark, 60, 4, 0.1, seed=3)
+    assert g.number_of_nodes() == 60
+    m = g.number_of_edges()
+    assert 100 <= m <= 120  # 60*2 ring edges minus rewire collisions/dups
+
+
+def test_clustered_random_ground_truth(spark):
+    g, truth = clustered_random(spark, 60, 3, 0.5, 0.01, seed=11)
+    from networkit_spark.operators.community import modularity
+
+    q = modularity(g, truth)
+    assert q > 0.3  # planted structure is recoverable

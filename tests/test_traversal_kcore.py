@@ -1,0 +1,101 @@
+from collections import defaultdict, deque
+
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.bfs import (
+    bfs_distances,
+    bfs_from,
+    diameter_lower_bound,
+    sssp_distances,
+)
+from networkit_spark.operators.kcore import core_decomposition, max_core_number
+
+from tests.fixtures import KARATE_EDGES, KARATE_N, TINY_CC_EDGES, TINY_CC_N
+
+
+def _bfs_oracle(n, edges, source):
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        x = q.popleft()
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def _core_oracle(n, edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {v: len(adj[v]) for v in range(n)}
+    core = {}
+    remaining = set(range(n))
+    k = 0
+    while remaining:
+        peel = [v for v in remaining if deg[v] <= k]
+        if not peel:
+            k = min(deg[v] for v in remaining)
+            peel = [v for v in remaining if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in remaining:
+                continue
+            core[v] = k
+            remaining.discard(v)
+            for u in adj[v]:
+                if u in remaining:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def test_bfs_karate_matches_oracle(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {
+        (r["source"], r["id"]): r["dist"]
+        for r in bfs_distances(g, [0, 33]).collect()
+    }
+    for s in (0, 33):
+        want = _bfs_oracle(KARATE_N, KARATE_EDGES, s)
+        assert {k[1]: v for k, v in got.items() if k[0] == s} == want
+
+
+def test_bfs_unreachable_null(spark):
+    g = GraphDF.from_edge_list(spark, TINY_CC_EDGES, num_nodes=TINY_CC_N)
+    got = {r["id"]: r["dist"] for r in bfs_from(g, 0).collect()}
+    comp0 = {0, 1, 2, 4, 8, 16, 19}
+    for v in range(TINY_CC_N):
+        if v in comp0:
+            assert got[v] is not None
+        else:
+            assert got[v] is None
+
+
+def test_sssp_weighted(spark):
+    # 0 -1.0- 1 -1.0- 2 ; direct 0 -5.0- 2: shortest 0→2 = 2.0
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)]
+    g = GraphDF.from_edge_list(spark, edges, weighted=True, num_nodes=3)
+    got = {r["id"]: r["dist"] for r in sssp_distances(g, 0).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_diameter_lower_bound(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    d = diameter_lower_bound(g, num_samples=34)  # all nodes → exact diameter
+    assert d == 5  # known karate diameter
+
+
+def test_core_decomposition_karate(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    want = _core_oracle(KARATE_N, KARATE_EDGES)
+    assert got == want
+    assert max_core_number(core_decomposition(g)) == 4  # known karate max core

@@ -30,6 +30,15 @@ PR_ITERS_CS = 15
 PR_ITERS_TR = 10
 PLP_SWEEPS = 4
 DAMPING = 0.85
+EV_ITERS = 8
+KATZ_ALPHA = 0.01
+KATZ_BETA = 0.1
+KATZ_ITERS = 8
+BFS_SOURCE = 1           # a customer id present at every sf
+SESSION_GAP_S = 1800
+NGRAM_THRESHOLD = 0.2
+LSH_PLANES = 4
+LSH_SEED = 42
 
 
 # ===================================================================== Spark
@@ -153,9 +162,279 @@ def q_knn_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def q_pagerank_cs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as pagerank_customer_supplier but through the explicit
+    salted two-stage aggregation (skew path) — shares the plain oracle,
+    proving salting is result-invariant."""
+    from networkit_spark.operators.pagerank import pagerank_fixed
+
+    tune_for_iteration(spark)
+    g = tg.customer_supplier_graph(spark, sf_dir)
+    out = pagerank_fixed(
+        g, damping=DAMPING, iterations=PR_ITERS_CS, salt_buckets=8
+    )
+    return _round6(out, "score").orderBy("id")
+
+
+def q_eigenvector_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import eigenvector_centrality_fixed
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = eigenvector_centrality_fixed(g, iterations=EV_ITERS)
+    return _round6(out, "score").orderBy("id")
+
+
+def q_katz_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import katz_centrality_fixed
+
+    tune_for_iteration(spark)
+    g = tg.customer_supplier_graph(spark, sf_dir)
+    out = katz_centrality_fixed(
+        g, alpha=KATZ_ALPHA, beta=KATZ_BETA, iterations=KATZ_ITERS
+    )
+    return _round6(out, "score").orderBy("id")
+
+
+def q_jaccard_linkpred_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import jaccard_index
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(jaccard_index(g), "score").orderBy("u", "v")
+
+
+def q_adamic_adar_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import adamic_adar_index
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(adamic_adar_index(g), "score").orderBy("u", "v")
+
+
+def q_common_neighbors_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import common_neighbors_index
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return common_neighbors_index(g).orderBy("u", "v")
+
+
+def q_assortativity_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from networkit_spark.operators.misc import degree_assortativity
+
+    g = tg.customer_supplier_graph(spark, sf_dir).to_undirected()
+    val = degree_assortativity(g)
+    return spark.createDataFrame(
+        [(round(val, 6),)], "assortativity double"
+    )
+
+
+def q_bfs_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.bfs import bfs_distances
+
+    tune_for_iteration(spark)
+    g = tg.customer_supplier_graph(spark, sf_dir).to_undirected()
+    d = bfs_distances(g, [BFS_SOURCE])
+    return (
+        d.filter(F.col("source") == BFS_SOURCE)
+        .select("id", F.col("dist").cast("long").alias("dist"))
+        .orderBy("id")
+    )
+
+
+def q_triangle_edge_score_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from networkit_spark.operators.triangles import triangle_edge_score
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return triangle_edge_score(g).orderBy("src", "dst")
+
+
+def q_kcore_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.kcore import core_decomposition
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return core_decomposition(g).orderBy("id")
+
+
+def q_transcripts_conv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.transcripts import conv_adjacency_edges
+
+    t = synthesize_transcripts(spark, N_CONVS)
+    e = conv_adjacency_edges(t)
+    return e.select(
+        F.substring("src_conv", 6, 6).cast("long").alias("src"),
+        F.substring("dst_conv", 6, 6).cast("long").alias("dst"),
+        "weight",
+    ).orderBy("src", "dst")
+
+
+def q_wcc_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.components import weakly_connected_components
+
+    tune_for_iteration(spark)
+    from networkit_spark.sources.transcripts import conv_adjacency_edges
+
+    t = synthesize_transcripts(spark, N_CONVS)
+    e = conv_adjacency_edges(t).select(
+        F.substring("src_conv", 6, 6).cast("long").alias("src"),
+        F.substring("dst_conv", 6, 6).cast("long").alias("dst"),
+        "weight",
+    )
+    g = GraphDF.from_edges(e, directed=True, weighted=True)
+    return weakly_connected_components(g).orderBy("id")
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per user, 30-min inactivity gap splits sessions —
+    the canonical streaming-adjacent window op."""
+    from pyspark.sql import Window
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    ev = tg.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull(), 0)
+        .when(gap > SESSION_GAP_S, 1)
+        .otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("first_event"),
+            F.max("event_id").cast("long").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.functions.text import quality_score
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return quality_score(docs).orderBy("doc_id")
+
+
+def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.functions.text import language_id
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return language_id(docs).orderBy("doc_id")
+
+
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=NGRAM_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — xxhash64-based, so no SQL oracle
+    (rows-only check); exactness is covered by pytest vs the exact
+    ngram-jaccard operator."""
+    from networkit_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, shingle_k=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints — xxhash64-based, rows-only check."""
+    from networkit_spark.functions.dedup import simhash
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("id")
+
+
+def q_knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.functions.similarity import knn_lsh
+
+    emb = tg.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = knn_lsh(emb, queries_df, k=5, dim=64, planes=LSH_PLANES, seed=LSH_SEED)
+    return out.select(
+        F.col("qid").cast("long"),
+        F.col("cid").cast("long"),
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("qid", "rank")
+
+
+def q_plm_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain (deterministic synchronous variant) — modularity-gain moves
+    aren't SQL-unrollable, so rows-only check; exactness covered by pytest
+    structural tests."""
+    from networkit_spark.operators.plm import plm
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return plm(g).orderBy("id")
+
+
+def q_msf_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum spanning forest — rows-only check (validated vs a
+    Kruskal oracle in pytest)."""
+    from networkit_spark.operators.misc import minimum_spanning_forest
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return minimum_spanning_forest(g).orderBy("src", "dst")
+
+
+def q_luby_mis_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (seeded, deterministic) — rows-only."""
+    from networkit_spark.operators.misc import luby_independent_set
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return luby_independent_set(g).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_customer_supplier": q_pagerank_customer_supplier,
+        "pagerank_cs_salted": q_pagerank_cs_salted,
+        "eigenvector_supplier_co": q_eigenvector_supplier_co,
+        "katz_customer_supplier": q_katz_customer_supplier,
+        "jaccard_linkpred_supplier": q_jaccard_linkpred_supplier,
+        "adamic_adar_supplier": q_adamic_adar_supplier,
+        "common_neighbors_supplier": q_common_neighbors_supplier,
+        "assortativity_customer_supplier": q_assortativity_customer_supplier,
+        "bfs_customer_supplier": q_bfs_customer_supplier,
+        "triangle_edge_score_supplier": q_triangle_edge_score_supplier,
+        "kcore_supplier_co": q_kcore_supplier_co,
+        "transcripts_conv_edges": q_transcripts_conv_edges,
+        "wcc_transcripts_conv": q_wcc_transcripts_conv,
+        "events_sessions": q_events_sessions,
+        "quality_documents": q_quality_documents,
+        "language_id_documents": q_language_id_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "simhash_documents": q_simhash_documents,
+        "knn_lsh_embeddings": q_knn_lsh_embeddings,
+        "plm_supplier_co": q_plm_supplier_co,
+        "msf_supplier_co": q_msf_supplier_co,
+        "luby_mis_supplier": q_luby_mis_supplier,
         "wcc_customer_supplier": q_wcc_customer_supplier,
         "plp_supplier_co": q_plp_supplier_co,
         "triangles_supplier_co": q_triangles_supplier_co,
@@ -302,6 +581,161 @@ ORDER BY v.id
 """
 
 
+def _eigenvector_sql(edges_cte: str, iters: int) -> str:
+    """Unrolled power iteration with per-step L2 normalize, matching
+    operators/centrality.py eigenvector_centrality_fixed on an UNDIRECTED
+    graph (symmetrized neighbor sums)."""
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst, weight FROM edges WHERE src != dst"
+        " UNION ALL SELECT dst, src, weight FROM edges WHERE src != dst"
+        " UNION ALL SELECT src, dst, weight FROM edges WHERE src = dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "r0 AS (SELECT id, 1.0 / SQRT((SELECT n FROM nn)) AS score FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"raw{k} AS (SELECT v.id, COALESCE(m.mass, 0.0) AS raw FROM v"
+            f" LEFT JOIN (SELECT e.dst, SUM(e.weight * r.score) AS mass"
+            f" FROM esym e JOIN r{k-1} r ON e.src = r.id GROUP BY e.dst) m"
+            f" ON v.id = m.dst),"
+        )
+        parts.append(
+            f"nrm{k} AS (SELECT SQRT(SUM(raw * raw)) AS s FROM raw{k}),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT id, raw / (SELECT s FROM nrm{k}) AS score"
+            f" FROM raw{k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, ROUND(score, 6) AS score FROM r{iters} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _katz_sql(edges_cte: str, alpha: float, beta: float, iters: int) -> str:
+    """Unrolled Katz matching operators/centrality.py katz_centrality_fixed:
+    directed in-edge sums of α(score+1), +β, final L2 normalize."""
+    parts = [
+        f"WITH {edges_cte},",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "r0 AS (SELECT id, 0.0 AS score FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT v.id, COALESCE(m.mass, 0.0) + {beta} AS score"
+            f" FROM v LEFT JOIN (SELECT e.dst,"
+            f" SUM({alpha} * (r.score + 1.0)) AS mass"
+            f" FROM edges e JOIN r{k-1} r ON e.src = r.id GROUP BY e.dst) m"
+            f" ON v.id = m.dst),"
+        )
+    parts.append(
+        f"nrm AS (SELECT SQRT(SUM(score * score)) AS s FROM r{iters})\n"
+        f"SELECT id, ROUND(score / (SELECT s FROM nrm), 6) AS score"
+        f" FROM r{iters} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+_LINKPRED_BASE = """
+nb AS (SELECT src, dst FROM edges WHERE src != dst
+       UNION SELECT dst, src FROM edges WHERE src != dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM nb GROUP BY src),
+hop2 AS (
+  SELECT a.dst AS u, b.dst AS v, a.src AS w
+  FROM nb a JOIN nb b ON a.src = b.src AND a.dst < b.dst
+)
+"""
+
+
+def _bfs_sql(edges_cte: str, source: int, max_d: int = 30) -> str:
+    return f"""
+WITH RECURSIVE {edges_cte},
+und AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+walk(id, d) AS (
+  SELECT CAST({source} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT u.b, walk.d + 1 FROM walk JOIN und u ON u.a = walk.id
+  WHERE walk.d < {max_d}
+)
+SELECT id, MIN(d) AS dist FROM walk GROUP BY id ORDER BY id
+"""
+
+
+def _conv_edges_cte(n_convs: int) -> str:
+    return f"""
+{_transcripts_cte(n_convs)},
+ent AS (
+  SELECT CASE WHEN role = 'tool' THEN tool
+              WHEN role = 'assistant' THEN agent END AS entity,
+         conv_id, ts, turn_idx
+  FROM t_all
+  WHERE role IN ('tool', 'assistant')
+),
+nx AS (
+  SELECT entity, conv_id, ts, turn_idx,
+         LEAD(conv_id) OVER (PARTITION BY entity
+                             ORDER BY ts, conv_id, turn_idx) AS next_conv
+  FROM ent
+),
+edges AS (
+  SELECT CAST(SUBSTR(conv_id, 6) AS BIGINT) AS src,
+         CAST(SUBSTR(next_conv, 6) AS BIGINT) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM nx
+  WHERE next_conv IS NOT NULL AND next_conv != conv_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _knn_lsh_sql(planes: int, seed: int, k: int = 5) -> str:
+    """Sign-LSH bucketing with the hyperplane constants inlined (the same
+    LCG-generated ±1 vectors as functions/similarity.py)."""
+    from networkit_spark.functions.similarity import _hyperplane
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for p in range(planes):
+            hp = _hyperplane(64, seed, p)
+            dot = " + ".join(
+                f"CAST({col}[{i+1}] AS DOUBLE) * {hp[i]}" for i in range(64)
+            )
+            terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2**p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+           {bucket_expr('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, embedding AS cv,
+      {bucket_expr('embedding')} AS bucket
+      FROM embeddings),
+dims AS (SELECT range AS i FROM range(0, 64)),
+sims AS (
+  SELECT qid, cid,
+    SUM(CAST(qv[i+1] AS DOUBLE) * CAST(cv[i+1] AS DOUBLE)) AS dot,
+    SUM(CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)) AS na,
+    SUM(CAST(cv[i+1] AS DOUBLE) * CAST(cv[i+1] AS DOUBLE)) AS nb
+  FROM c JOIN q USING (bucket) CROSS JOIN dims
+  WHERE qid != cid
+  GROUP BY qid, cid
+),
+ranked AS (
+  SELECT qid, cid, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, cid ASC)
+              AS BIGINT) AS rank
+  FROM sims
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
 def _transcripts_cte(n_convs: int) -> str:
     """transcripts_sql(...) as a CTE body named t_all."""
     inner = transcripts_sql(n_convs).strip()
@@ -341,6 +775,33 @@ def oracle_sql() -> dict[str, str]:
     return {k: _mat(v) for k, v in _oracle_sql_raw().items()}
 
 
+def _langid_sql() -> str:
+    from networkit_spark.functions.text import _LANG_HINTS
+
+    def occ(w: str) -> str:
+        return (
+            f"CAST((length(' ' || text || ' ') - "
+            f"length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2}"
+            f" AS BIGINT)"
+        )
+
+    langs = sorted(_LANG_HINTS.items())
+    sums = {
+        lang: "CAST(" + " + ".join(occ(w) for w in words) + " AS BIGINT)"
+        for lang, words in langs
+    }
+    best = "GREATEST(" + ", ".join(sums.values()) + ")"
+    chain = " ".join(
+        f"WHEN {sums[lang]} = best THEN '{lang}'" for lang, _ in langs
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN best > 0 THEN (CASE {chain} END) ELSE 'und' END AS lang_pred
+FROM (SELECT doc_id, text, {best} AS best FROM documents)
+ORDER BY doc_id
+"""
+
+
 def _oracle_sql_raw() -> dict[str, str]:
     stop5 = ["the", "a", "of", "and", "to"]
     stop_terms = " + ".join(
@@ -351,6 +812,134 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pagerank_customer_supplier": _pagerank_sql(
             tg.CS_EDGES_CTE.strip(), PR_ITERS_CS, DAMPING
         ),
+        # the salted path must produce byte-identical (rounded) results
+        "pagerank_cs_salted": _pagerank_sql(
+            tg.CS_EDGES_CTE.strip(), PR_ITERS_CS, DAMPING
+        ),
+        "eigenvector_supplier_co": _eigenvector_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), EV_ITERS
+        ),
+        "katz_customer_supplier": _katz_sql(
+            tg.CS_EDGES_CTE.strip(), KATZ_ALPHA, KATZ_BETA, KATZ_ITERS
+        ),
+        "common_neighbors_supplier": f"""
+WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+{_LINKPRED_BASE.strip()}
+SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS score FROM hop2
+GROUP BY u, v ORDER BY u, v
+""",
+        "jaccard_linkpred_supplier": f"""
+WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+{_LINKPRED_BASE.strip()},
+cn AS (SELECT u, v, COUNT(*) AS c FROM hop2 GROUP BY u, v)
+SELECT cn.u, cn.v,
+       ROUND(cn.c / (du.d + dv.d - cn.c), 6) AS score
+FROM cn JOIN deg du ON cn.u = du.id JOIN deg dv ON cn.v = dv.id
+ORDER BY cn.u, cn.v
+""",
+        "adamic_adar_supplier": f"""
+WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+{_LINKPRED_BASE.strip()}
+SELECT h.u, h.v, ROUND(SUM(1.0 / LN(dw.d)), 6) AS score
+FROM hop2 h JOIN deg dw ON h.w = dw.id
+GROUP BY h.u, h.v ORDER BY h.u, h.v
+""",
+        "assortativity_customer_supplier": f"""
+WITH {tg.CS_EDGES_CTE.strip()},
+esym AS (SELECT src, dst FROM edges WHERE src != dst
+         UNION ALL SELECT dst, src FROM edges WHERE src != dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM esym GROUP BY src)
+SELECT ROUND(CORR(ds.d, dd.d), 6) AS assortativity
+FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
+""",
+        "bfs_customer_supplier": _bfs_sql(tg.CS_EDGES_CTE.strip(), BFS_SOURCE),
+        "triangle_edge_score_supplier": f"""
+WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+{_TRIANGLE_CORE.strip()},
+tpairs AS (
+  SELECT LEAST(u, v2) AS src, GREATEST(u, v2) AS dst FROM tri
+  UNION ALL SELECT LEAST(v2, w), GREATEST(v2, w) FROM tri
+  UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri
+),
+tec AS (SELECT src, dst, COUNT(*) AS sc FROM tpairs GROUP BY src, dst),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM edges)
+SELECT c.src, c.dst, CAST(COALESCE(tec.sc, 0) AS BIGINT) AS score
+FROM canon c LEFT JOIN tec ON c.src = tec.src AND c.dst = tec.dst
+ORDER BY c.src, c.dst
+""",
+        "transcripts_conv_edges": f"""
+WITH {_conv_edges_cte(N_CONVS).strip()}
+SELECT src, dst, weight FROM edges ORDER BY src, dst
+""",
+        "wcc_transcripts_conv": _wcc_sql(_conv_edges_cte(N_CONVS).strip()),
+        "events_sessions": f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+         WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+              - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > {SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(event_id) AS BIGINT) AS last_event
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+        "quality_documents": """
+WITH st AS (
+  SELECT doc_id,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+    CAST(
+      CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+    + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)
+    + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT)
+    + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT)
+    + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4 AS BIGINT)
+    AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+      + 0.5 * LEAST(n_stop / GREATEST(n_tokens, 1) * 5.0, 1.0), 6) AS quality
+FROM st ORDER BY doc_id
+""",
+        "language_id_documents": _langid_sql(),
+        "ngram_jaccard_documents": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+    unnest(list_transform(range(0, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM toks
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+  FROM inter JOIN sizes sa ON inter.id_a = sa.id
+             JOIN sizes sb ON inter.id_b = sb.id
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= {NGRAM_THRESHOLD} ORDER BY id_a, id_b
+""",
+        "knn_lsh_embeddings": _knn_lsh_sql(LSH_PLANES, LSH_SEED),
         "wcc_customer_supplier": _wcc_sql(tg.CS_EDGES_CTE.strip()),
         "plp_supplier_co": _plp_sql(tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS),
         "triangles_supplier_co": _triangles_sql(tg.SUPPLIER_CO_EDGES_CTE.strip()),

@@ -36,7 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 spark = (SparkSession.builder.master(f"local[{cores}]")
     .appName(f"scaling-{cores}")
-    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.shuffle.partitions", str(max(32, cores * 3)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.ui.enabled", "false")
@@ -127,6 +127,8 @@ def run(script: str, args: list[str], env=None) -> dict:
 
 def main():
     quick = "--quick" in sys.argv
+    only = [a.split("=", 1)[1].split(",") for a in sys.argv if a.startswith("--jobs=")]
+    only = only[0] if only else None
     levels = [2, 8, 32]
     jobs = {
         "pagerank": (
@@ -146,6 +148,8 @@ def main():
              "MKL_NUM_THREADS": "1"},
         ),
     }
+    if only:
+        jobs = {k: v for k, v in jobs.items() if k in only}
     results: dict[str, dict[int, dict]] = {}
     for name, (script, args, env) in jobs.items():
         results[name] = {}

@@ -1,0 +1,174 @@
+"""PLM — parallel Louvain method (reference: networkit/cpp/community/
+PLM.cpp:24, wrapper networkit/community.pyx:350-392).
+
+Reference shape: repeat { move phase (greedy modularity-gain label moves)
+until stable; contract by partition (ParallelPartitionCoarsening); recurse }
+then prolong labels back down. The reference's move phase is asynchronous
+parallel; as with PLP (north rule), this engine runs SYNCHRONOUS sweeps
+with a deterministic tie-break (max gain, then min target label), so
+results are reproducible at any parallelism.
+
+Modularity gain of moving u into community C (PLM.cpp modularity delta):
+    Δ(u→C) = (w(u,C) − w(u,C_u\\{u}})) / m
+             + γ·((vol(C_u)−vol(u))·vol(u) − vol(C)·vol(u)) / (2m²)
+Evaluated per candidate community via one groupBy over the neighbor join;
+the best target per node wins. Each level's graph is a contraction, so
+level sizes shrink geometrically — the same economics as the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.community import coarsen_by_partition
+
+
+def _move_phase(
+    graph: GraphDF,
+    gamma: float,
+    max_sweeps: int,
+) -> DataFrame:
+    """Synchronous greedy modularity sweeps on one level; returns
+    (id, label)."""
+    e = graph.E_sym.select("src", "dst", "weight")
+    e = e.repartition("src").sortWithinPartitions("src").persist()
+    e.count()
+    total_w = graph.total_edge_weight()  # m (self-loops counted once)
+    if total_w == 0:
+        return graph.V.select("id", F.col("id").alias("label"))
+
+    # node volumes: weighted degree with self-loops twice (Modularity.cpp:50)
+    vol = graph.weighted_degrees(count_self_loops_twice=True).select(
+        "id", F.col("wdeg").alias("vol_u")
+    ).persist()
+
+    labels = graph.V.select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for sweep in range(max_sweeps):
+        com_vol = (
+            labels.join(vol, "id")
+            .groupBy("label")
+            .agg(F.sum("vol_u").alias("vol_c"))
+        )
+        lab_w = labels.withColumnRenamed("id", "src").withColumnRenamed(
+            "label", "nbr_label"
+        )
+        # w(u, C): weight from u to each neighboring community (self-loops
+        # excluded from candidate weights)
+        u2c = (
+            e.filter("src != dst")
+            .join(lab_w, "src")
+            .groupBy(F.col("dst").alias("id"), F.col("nbr_label").alias("cand"))
+            .agg(F.sum("weight").alias("w_uc"))
+        )
+        own = labels.select("id", F.col("label").alias("own"))
+        cand = (
+            u2c.join(own, "id")
+            .join(vol, "id")
+            .join(
+                com_vol.select(
+                    F.col("label").alias("cand"), F.col("vol_c").alias("vol_cand")
+                ),
+                "cand",
+            )
+            .join(
+                com_vol.select(
+                    F.col("label").alias("own"), F.col("vol_c").alias("vol_own")
+                ),
+                "own",
+            )
+        )
+        # w(u, C_u \ {u}) — weight to own community (0 if no row)
+        w_own = cand.filter(F.col("cand") == F.col("own")).select(
+            "id", F.col("w_uc").alias("w_uown")
+        )
+        scored = cand.join(w_own, "id", "left").select(
+            "id",
+            "cand",
+            "own",
+            (
+                (F.col("w_uc") - F.coalesce("w_uown", F.lit(0.0))) / total_w
+                + F.lit(gamma)
+                * (
+                    (F.col("vol_own") - F.col("vol_u")) * F.col("vol_u")
+                    - F.when(
+                        F.col("cand") == F.col("own"),
+                        (F.col("vol_own") - F.col("vol_u")),
+                    ).otherwise(F.col("vol_cand"))
+                    * F.col("vol_u")
+                )
+                / F.lit(2.0 * total_w * total_w)
+            ).alias("gain"),
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("cand"))
+        winner = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .filter(F.col("gain") > 1e-12)  # strict improvement only
+            # synchronous-move conflict breaker: adjacent nodes moving into
+            # each other's communities simultaneously oscillate (the classic
+            # sync-Louvain pathology); a deterministic hash-selected half of
+            # the nodes moves per sweep, which provably breaks 2-cycles while
+            # staying reproducible at any parallelism
+            .filter(
+                F.pmod(F.abs(F.xxhash64("id", F.lit(sweep))), F.lit(2)) == 0
+            )
+            .select("id", F.col("cand").alias("new_label"))
+        )
+        joined = labels.join(winner, "id", "left").select(
+            "id",
+            F.coalesce("new_label", "label").alias("new"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+        ).persist()
+        n_changed = int(
+            joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        )
+        labels = joined.select("id", F.col("new").alias("label")).localCheckpoint(
+            eager=True
+        )
+        joined.unpersist()
+        if n_changed == 0:
+            break
+    e.unpersist()
+    vol.unpersist()
+    return labels
+
+
+def plm(
+    graph: GraphDF,
+    gamma: float = 1.0,
+    max_levels: int = 10,
+    max_sweeps_per_level: int = 16,
+) -> DataFrame:
+    """(id, label): hierarchical Louvain. Labels compacted per level;
+    prolongation composes the per-level mappings top-down."""
+    level_graph = graph
+    mappings: list[DataFrame] = []
+    for _ in range(max_levels):
+        labels = _move_phase(level_graph, gamma, max_sweeps_per_level)
+        n_coms = labels.select("label").distinct().count()
+        n_nodes = level_graph.number_of_nodes()
+        coarse, mapping = coarsen_by_partition(level_graph, labels)
+        mappings.append(mapping.localCheckpoint(eager=True))
+        if n_coms == n_nodes:
+            break
+        level_graph = GraphDF(
+            coarse.V.localCheckpoint(eager=True),
+            coarse.E.localCheckpoint(eager=True),
+            directed=coarse.directed,
+            weighted=True,
+        )
+    # prolong: compose mappings bottom level first
+    out = mappings[0]
+    for m in mappings[1:]:
+        m2 = m.select(
+            F.col("id").alias("prev_super"), F.col("super_id").alias("next_super")
+        )
+        out = (
+            out.join(m2, out.super_id == m2.prev_super)
+            .select("id", F.col("next_super").alias("super_id"))
+        )
+    return out.select("id", F.col("super_id").cast("long").alias("label"))

@@ -1,0 +1,170 @@
+"""Selective community detection — seeded local communities (SURVEY §2.8;
+reference: networkit/cpp/scd/ApproximatePageRank.cpp, PageRankNibble.cpp).
+
+ApproximatePageRank's sequential push doesn't distribute per-operation, but
+its SEMANTICS — personalized PageRank mass concentrated near the seed,
+swept by conductance — map cleanly: a personalized-teleport power iteration
+(same superstep skeleton as global PageRank, teleport mass pinned to the
+seed set) followed by a conductance sweep over the score-ranked prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def personalized_pagerank(
+    graph: GraphDF,
+    seeds: list[int],
+    damping: float = 0.85,
+    tol: float = 1e-8,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """(id, score): teleport vector uniform over `seeds` instead of V —
+    everything else identical to operators/pagerank.py semantics."""
+    spark = graph.V.sparkSession
+    v = graph.V.select("id").persist()
+    n = v.count()
+    if n == 0 or not seeds:
+        return graph.V.withColumn("score", F.lit(0.0))
+    e = graph.E if graph.directed else graph.E_sym
+    wdeg = e.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    edges = (
+        e.join(wdeg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("frac"))
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    edges.count()
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    seed_mass = 1.0 / len(seeds)
+    teleport = (
+        v.join(F.broadcast(seed_df), "id", "left_semi")
+        .select("id", F.lit((1.0 - damping) * seed_mass).alias("tp"))
+    )
+    rank = v.join(F.broadcast(seed_df), "id", "left_semi").select(
+        "id", F.lit(seed_mass).alias("score")
+    )
+    rank = v.join(rank, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    ).localCheckpoint(eager=True)
+
+    import math
+
+    for _ in range(max_iterations):
+        contrib = edges.join(rank, edges.src == rank.id).select(
+            "dst", (F.col("frac") * F.col("score")).alias("m")
+        )
+        mass = contrib.groupBy("dst").agg(F.sum("m").alias("m"))
+        new_rank = (
+            v.join(mass, v.id == mass.dst, "left")
+            .join(teleport.withColumnRenamed("id", "tid"), v.id == F.col("tid"), "left")
+            .select(
+                "id",
+                (
+                    F.coalesce("tp", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                ).alias("score"),
+            )
+        ).localCheckpoint(eager=True)
+        delta = (
+            new_rank.join(rank.select("id", F.col("score").alias("o")), "id")
+            .agg(F.sqrt(F.sum((F.col("score") - F.col("o")) ** 2)))
+            .collect()[0][0]
+        )
+        rank = new_rank
+        if delta is not None and delta <= tol:
+            break
+    edges.unpersist()
+    v.unpersist()
+    total = rank.agg(F.sum("score")).collect()[0][0]
+    return rank.select("id", (F.col("score") / F.lit(total)).alias("score"))
+
+
+def conductance_sweep(
+    graph: GraphDF, scores: DataFrame, max_size: int = 1000
+) -> DataFrame:
+    """PageRankNibble's sweep: order nodes by score/deg descending, take the
+    prefix with minimum conductance. Returns the community (id) rows.
+
+    The sweep is a window-cumulative computation: for the prefix of size k,
+      vol(S)   = Σ deg(u)               (cumulative sum)
+      cut(S)   = vol(S) − 2·internal(S) (internal via edge join on rank)
+    conductance = cut / min(vol, 2m − vol). Evaluated for all prefixes in
+    ONE pass — no per-k scans.
+    """
+    deg = graph.degrees()
+    ranked = (
+        scores.join(deg, "id")
+        .filter(F.col("score") > 0)
+        .select(
+            "id",
+            "degree",
+            (F.col("score") / F.greatest("degree", F.lit(1))).alias("key"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(F.desc("key"), F.asc("id"))),
+        )
+        .filter(F.col("pos") <= max_size)
+        .persist()
+    )
+    e = graph.E_sym.filter("src != dst").select("src", "dst")
+    pos_src = ranked.select(F.col("id").alias("src"), F.col("pos").alias("p_src"))
+    pos_dst = ranked.select(F.col("id").alias("dst"), F.col("pos").alias("p_dst"))
+    # edge (u,v) becomes internal once pos >= max(p_src, p_dst): count per
+    # threshold via groupBy on that max
+    internal_at = (
+        e.join(pos_src, "src")
+        .join(pos_dst, "dst")
+        .select(F.greatest("p_src", "p_dst").alias("k"))
+        .groupBy("k")
+        .agg((F.count("*") / 2).alias("new_internal"))  # E_sym counts twice
+    )
+    m2 = graph.E_sym.filter("src != dst").count()  # = 2m
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        ranked.join(internal_at, ranked.pos == internal_at.k, "left")
+        .select(
+            "id",
+            "pos",
+            "degree",
+            F.coalesce("new_internal", F.lit(0.0)).alias("ni"),
+        )
+        .withColumn("vol", F.sum("degree").over(w))
+        .withColumn("internal", F.sum("ni").over(w))
+        .withColumn("cut", F.col("vol") - 2 * F.col("internal"))
+        .withColumn(
+            "conductance",
+            F.col("cut")
+            / F.greatest(
+                F.least(F.col("vol"), F.lit(m2) - F.col("vol")), F.lit(1.0)
+            ),
+        )
+    ).persist()
+    # standard sweep constraint: only prefixes with vol(S) <= vol(G)/2 —
+    # otherwise the trivial full set (cut 0) always wins
+    best = (
+        sweep.filter(F.col("vol") <= m2 / 2.0)
+        .orderBy(F.asc("conductance"), F.asc("pos"))
+        .limit(1)
+        .collect()
+    )
+    if not best:
+        return graph.V.limit(0).select("id")
+    k = best[0]["pos"]
+    out = sweep.filter(F.col("pos") <= k).select("id")
+    return out
+
+
+def page_rank_nibble(
+    graph: GraphDF, seed: int, damping: float = 0.85
+) -> DataFrame:
+    """PageRankNibble (scd/PageRankNibble.cpp): personalized PageRank from
+    the seed + conductance sweep."""
+    ppr = personalized_pagerank(graph, [seed], damping=damping)
+    return conductance_sweep(graph, ppr)

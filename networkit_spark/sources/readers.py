@@ -1,0 +1,199 @@
+"""Graph file readers/writers (SURVEY §2.1; reference: networkit/cpp/io/*,
+dispatch networkit/graphio.pyx:724-786).
+
+Text formats map to spark.read.csv/text with declarative parsing; the
+"binary format" of this engine is Parquet itself (NetworkitBinary's
+chunked layout ≡ row groups — io/NetworkitBinaryGraph.md). Writers emit
+canonically ordered output for byte-stable golden files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path: str,
+    separator: str = "\t",
+    comment_prefix: str = "#",
+    first_node: int = 0,
+    continuous: bool = True,
+    directed: bool = False,
+    weighted: bool = False,
+) -> GraphDF:
+    """EdgeListReader (networkit/cpp/io/EdgeListReader.cpp:20-124):
+    configurable separator, id base offset, comment prefix; when
+    `continuous=False`, string keys are mapped to dense ids via dense_rank
+    over sorted keys (the EdgeListReader::getNodeMap analog,
+    EdgeListReader.cpp:25-30)."""
+    df = spark.read.csv(path, sep=separator, comment=comment_prefix or None)
+    cols = df.columns
+    if continuous:
+        e = df.select(
+            (F.col(cols[0]).cast("long") - first_node).alias("src"),
+            (F.col(cols[1]).cast("long") - first_node).alias("dst"),
+            (
+                F.col(cols[2]).cast("double")
+                if weighted and len(cols) > 2
+                else F.lit(1.0)
+            ).alias("weight"),
+        )
+        return GraphDF.from_edges(e, directed=directed, weighted=weighted)
+    # string keys → minted ids
+    keys = (
+        df.select(F.col(cols[0]).alias("k"))
+        .union(df.select(F.col(cols[1]).alias("k")))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    mapping = keys.withColumn("id", (F.dense_rank().over(w) - F.lit(1)).cast("long"))
+    e = (
+        df.join(mapping.select(F.col("k").alias(cols[0]), F.col("id").alias("src")), cols[0])
+        .join(mapping.select(F.col("k").alias(cols[1]), F.col("id").alias("dst")), cols[1])
+        .select(
+            "src",
+            "dst",
+            (
+                F.col(cols[2]).cast("double")
+                if weighted and len(cols) > 2
+                else F.lit(1.0)
+            ).alias("weight"),
+        )
+    )
+    return GraphDF.from_edges(e, directed=directed, weighted=weighted)
+
+
+def read_snap(
+    spark: SparkSession, path: str, directed: bool = True, remap: bool = True
+) -> GraphDF:
+    """SNAPGraphReader (networkit/cpp/io/SNAPGraphReader.cpp:18-60):
+    whitespace edge list, '#' comments, optional remap to consecutive ids,
+    duplicate edges silently deduped (:27-41)."""
+    df = (
+        spark.read.text(path)
+        .filter(~F.col("value").startswith("#"))
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.split(F.trim("value"), r"\s+").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("raw_src"),
+            F.col("p")[1].cast("long").alias("raw_dst"),
+        )
+        .dropDuplicates(["raw_src", "raw_dst"])
+    )
+    if not remap:
+        e = df.select(
+            F.col("raw_src").alias("src"),
+            F.col("raw_dst").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        return GraphDF.from_edges(e, directed=directed)
+    keys = (
+        df.select(F.col("raw_src").alias("k"))
+        .union(df.select(F.col("raw_dst").alias("k")))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    mapping = keys.withColumn("id", (F.dense_rank().over(w) - F.lit(1)).cast("long"))
+    e = (
+        df.join(mapping.select(F.col("k").alias("raw_src"), F.col("id").alias("src")), "raw_src")
+        .join(mapping.select(F.col("k").alias("raw_dst"), F.col("id").alias("dst")), "raw_dst")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return GraphDF.from_edges(e, directed=directed)
+
+
+def read_metis(spark: SparkSession, path: str) -> GraphDF:
+    """METISGraphReader (networkit/cpp/io/METISGraphReader.cpp): 1-based
+    adjacency lines, header `n m [fmt]`; line number = node id. Implemented
+    with zipWithIndex-free row_number over a monotonic file order column."""
+    lines = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("mono"), "value")
+    )
+    # stable line numbering within a single file read: order by mono
+    w = Window.orderBy("mono")
+    lines = lines.withColumn("ln", F.row_number().over(w) - F.lit(1))
+    header = lines.filter("ln = 0").collect()[0]["value"].split()
+    n = int(header[0])
+    body = lines.filter(F.col("ln") >= 1).select(
+        (F.col("ln") - 1).alias("src"),
+        F.split(F.trim("value"), r"\s+").alias("nbrs"),
+    )
+    e = (
+        body.select("src", F.explode("nbrs").alias("nbr"))
+        .filter(F.length("nbr") > 0)
+        .select("src", (F.col("nbr").cast("long") - 1).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))  # each undirected edge listed twice
+        .withColumn("weight", F.lit(1.0))
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def write_edge_list(
+    graph: GraphDF, path: str, separator: str = "\t"
+) -> None:
+    """EdgeListWriter: canonical (src, dst) ordering for byte-stable
+    goldens; single partition for file-level determinism (use the parquet
+    writer for scale)."""
+    (
+        graph.E.orderBy("src", "dst")
+        .select(
+            F.concat_ws(
+                separator,
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                F.col("weight").cast("string"),
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_parquet(graph: GraphDF, path: str) -> None:
+    """The engine's native binary sink (NetworkitBinary ≡ parquet row
+    groups): edges partitioned and sorted for co-located reads."""
+    graph.E.repartition("src").sortWithinPartitions("src", "dst").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/edges")
+    graph.V.write.mode("overwrite").parquet(f"{path}/vertices")
+
+
+def read_parquet(
+    spark: SparkSession, path: str, directed: bool = False, weighted: bool = True
+) -> GraphDF:
+    return GraphDF(
+        spark.read.parquet(f"{path}/vertices"),
+        spark.read.parquet(f"{path}/edges"),
+        directed=directed,
+        weighted=weighted,
+    )
+
+
+def read_partition(spark: SparkSession, path: str) -> DataFrame:
+    """PartitionReader (io/PartitionReader.cpp): line i = label of node i."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("mono"), "value"
+    )
+    w = Window.orderBy("mono")
+    return (
+        lines.withColumn("id", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .select("id", F.col("value").cast("long").alias("label"))
+    )
+
+
+def write_partition(partition: DataFrame, path: str) -> None:
+    """PartitionWriter: label per line in node-id order."""
+    (
+        partition.orderBy("id")
+        .select(F.col("label").cast("string").alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

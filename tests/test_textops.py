@@ -1,0 +1,173 @@
+import math
+
+from pyspark.sql import functions as F
+
+from networkit_spark.functions.dedup import (
+    embedding_cosine_near_dups,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from networkit_spark.functions.multimodal import (
+    audio_chunk_plan,
+    image_features,
+    sample_video_frames,
+    synthesize_media,
+)
+from networkit_spark.functions.similarity import (
+    knn_bruteforce,
+    knn_bruteforce_pandas,
+    knn_lsh,
+)
+from networkit_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy cat"),     # near dup
+        (3, "der schnelle braune fuchs und der hund ist da"),
+        (4, "completely different text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark)).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in d}
+    assert groups[0] == 2
+    assert sum(groups.values()) == 5
+
+
+def test_shingles_and_jaccard(spark):
+    docs = _docs(spark)
+    sh = shingles(docs, "text", "doc_id", k=3)
+    assert sh.filter("id = 0").count() == 7  # 9 tokens → 7 3-shingles
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    assert 0.0 < pairs[(0, 2)] < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=2)
+    assert sigs.count() == 5
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, shingle_k=2
+        ).collect()
+    }
+    assert cands[(0, 1)] == 1.0  # identical → identical signatures
+    assert (0, 4) not in cands or cands[(0, 4)] < 0.5
+
+
+def test_simhash_similarity(spark):
+    docs = _docs(spark)
+    h = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h[0] == h[1]  # identical text → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h[0], h[2]) < hamming(h[0], h[4])
+
+
+def test_text_stats_and_quality(spark):
+    docs = _docs(spark)
+    st = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert st[0]["n_tokens"] == 9
+    assert st[0]["n_stopwords"] >= 2  # 'the' twice
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[0] > q[4] - 1.0  # sanity
+
+
+def test_language_id(spark):
+    docs = _docs(spark)
+    lid = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert lid[0] == "en"
+    assert lid[3] == "de"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    rows = [(0, "hello   world"), (1, "HELLO WORLD"), (2, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def _emb(spark, n=50, dim=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.abs(F.xxhash64("id", i)), F.lit(1000)).cast("double")
+                / 500.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_knn_bruteforce_and_pandas_agree(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 5")
+    a = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in knn_bruteforce(emb, q, k=3).collect()
+    }
+    qpdf = q.toPandas()
+    b = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in knn_bruteforce_pandas(emb, qpdf, k=3).collect()
+    }
+    assert a == b
+
+
+def test_knn_lsh_subset_of_bruteforce_space(spark):
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 5")
+    out = knn_lsh(emb, q, k=3, dim=8, planes=2)
+    rows = out.collect()
+    assert all(r["qid"] != r["cid"] for r in rows)
+    assert out.count() <= 15
+
+
+def test_embedding_near_dups(spark):
+    emb = _emb(spark, n=20)
+    # duplicate vec 0 as id 100
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(100).cast("long").alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(dup)
+    nd = embedding_cosine_near_dups(both, threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (0, 100) in pairs
+
+
+def test_media_plumbing(spark):
+    media = synthesize_media(spark, 30)
+    assert media.count() == 30
+    feats = image_features(media).collect()
+    assert len(feats) == 10  # ids ≡ 0 mod 3
+    assert all(len(r["feat"]) == 6 for r in feats)
+    frames = sample_video_frames(media, every_ms=60_000)
+    assert frames.count() > 0
+    chunks = audio_chunk_plan(media, chunk_ms=60_000)
+    bad = chunks.filter("end_ms > start_ms").count()
+    assert bad == chunks.count()

@@ -1,0 +1,73 @@
+import math
+from collections import defaultdict, deque
+
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.closeness import (
+    closeness_centrality,
+    harmonic_closeness,
+    top_closeness,
+)
+from networkit_spark.operators.simulation import I, R, S, seir_simulation
+
+from tests.fixtures import KARATE_EDGES, KARATE_N
+
+
+def _bfs(n, edges, s):
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        x = q.popleft()
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def test_closeness_matches_oracle(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {r["id"]: r["score"] for r in closeness_centrality(g).collect()}
+    for u in range(KARATE_N):
+        d = _bfs(KARATE_N, KARATE_EDGES, u)
+        tot = sum(v for k, v in d.items() if k != u)
+        r = len(d) - 1
+        want = (r / tot) * (r / (KARATE_N - 1))
+        assert math.isclose(got[u], want, abs_tol=1e-9), u
+
+
+def test_harmonic_matches_oracle(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {r["id"]: r["score"] for r in harmonic_closeness(g).collect()}
+    for u in (0, 16, 33):
+        d = _bfs(KARATE_N, KARATE_EDGES, u)
+        want = sum(1.0 / v for k, v in d.items() if k != u) / (KARATE_N - 1)
+        assert math.isclose(got[u], want, abs_tol=1e-9), u
+
+
+def test_top_closeness(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    top = top_closeness(g, 3).collect()
+    assert len(top) == 3
+    assert top[0]["id"] == 0  # karate: node 0 has highest closeness
+
+
+def test_seir_progression(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    timeline, final = seir_simulation(g, zero=[0], p_trans=0.9, ticks=16)
+    rows = timeline.collect()
+    t0 = {r["state"]: r["count"] for r in rows if r["tick"] == 0}
+    assert t0[I] == 1 and t0[S] == KARATE_N - 1
+    # epidemic spreads on a connected graph with p=0.9: most nodes leave S
+    last_tick = max(r["tick"] for r in rows)
+    tl = {r["state"]: r["count"] for r in rows if r["tick"] == last_tick}
+    assert tl.get(S, 0) < KARATE_N / 2
+    assert tl.get(R, 0) > 0
+    # determinism
+    t2, f2 = seir_simulation(g, zero=[0], p_trans=0.9, ticks=16)
+    a = sorted(map(tuple, final.collect()))
+    b = sorted(map(tuple, f2.collect()))
+    assert a == b

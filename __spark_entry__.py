@@ -616,18 +616,19 @@ def _eigenvector_sql(edges_cte: str, iters: int) -> str:
 
 
 def _katz_sql(edges_cte: str, alpha: float, beta: float, iters: int) -> str:
-    """Unrolled Katz matching operators/centrality.py katz_centrality_fixed:
-    directed in-edge sums of α(score+1), +β, final L2 normalize."""
+    """Unrolled Katz matching operators/centrality.py katz_centrality_fixed
+    (reference KatzCentrality.cpp:22,41-43): init 1.0, directed in-edge sums
+    of w·α·(score+1), +β, final L2 normalize."""
     parts = [
         f"WITH {edges_cte},",
         "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
-        "r0 AS (SELECT id, 0.0 AS score FROM v),",
+        "r0 AS (SELECT id, 1.0 AS score FROM v),",
     ]
     for k in range(1, iters + 1):
         parts.append(
             f"r{k} AS (SELECT v.id, COALESCE(m.mass, 0.0) + {beta} AS score"
             f" FROM v LEFT JOIN (SELECT e.dst,"
-            f" SUM({alpha} * (r.score + 1.0)) AS mass"
+            f" SUM(e.weight * {alpha} * (r.score + 1.0)) AS mass"
             f" FROM edges e JOIN r{k-1} r ON e.src = r.id GROUP BY e.dst) m"
             f" ON v.id = m.dst),"
         )

@@ -93,15 +93,13 @@ def katz_centrality(
     tol: float = 1e-8,
     max_iterations: int = 100,
 ) -> DataFrame:
-    """KatzCentrality (networkit/cpp/centrality/KatzCentrality.cpp:14-75):
-    per step over IN-edges (directed; neighbors if undirected)
-      v'[u] = Σ_{(v,u)∈E} α·(v[v] + 1) + β·deg_in-ish... reference:
-      score[u] = Σ_nbr α·(old[nbr] + 1) + β  per incident edge? Exactly:
-      for each in-neighbor v: acc += α·(old[v] + 1.0); then + β? The
-      reference adds edgeattr-free α(old+1) per neighbor and β once.
-    Final L2 normalization."""
+    """KatzCentrality (networkit/cpp/centrality/KatzCentrality.cpp:20-66):
+    init 1.0 (:22 `values(z, 1.0)`), per step over IN-edges (directed;
+    neighbors if undirected):
+      v'[u] = Σ_{(v,u)∈E} w(v,u)·α·(old[v] + 1) + β       (:41-43)
+    convergence on |‖v'‖₂ − ‖v‖₂| ≤ tol (:48-58), final divide by ‖v‖₂."""
     e = graph.E if graph.directed else graph.E_sym
-    edges = e.select("src", "dst")
+    edges = e.select("src", "dst", "weight")
     edges = edges.repartition("src").sortWithinPartitions("src").persist()
     edges.count()
     v = graph.V.select("id").persist()
@@ -109,26 +107,31 @@ def katz_centrality(
     if n == 0:
         return graph.V.withColumn("score", F.lit(0.0))
 
-    score = v.select("id", F.lit(0.0).alias("score"))
+    score = v.select("id", F.lit(1.0).alias("score"))
     score = score.localCheckpoint(eager=True)
+    old_nrm = 0.0
+    nrm = 0.0
     for _ in range(max_iterations):
         contrib = edges.join(score, edges.src == score.id).select(
-            "dst", (F.lit(alpha) * (F.col("score") + F.lit(1.0))).alias("m")
+            "dst",
+            (
+                F.col("weight") * F.lit(alpha) * (F.col("score") + F.lit(1.0))
+            ).alias("m"),
         )
         mass = contrib.groupBy("dst").agg(F.sum("m").alias("m"))
         new_raw = v.join(mass, v.id == mass.dst, "left").select(
             "id", (F.coalesce("m", F.lit(0.0)) + F.lit(beta)).alias("score")
         )
         new_raw = new_raw.localCheckpoint(eager=True)
-        delta = (
-            new_raw.join(score.select("id", F.col("score").alias("o")), "id")
-            .agg(F.sum(F.abs(F.col("score") - F.col("o"))))
-            .collect()[0][0]
+        # reference convergence: |‖v'‖ − ‖v‖| ≤ tol — one scalar agg, no
+        # second join-the-old-vector pass
+        nrm = float(
+            new_raw.agg(F.sqrt(F.sum(F.col("score") ** 2))).collect()[0][0] or 0.0
         )
         score = new_raw
-        if delta is not None and delta <= tol:
+        if abs(nrm - old_nrm) <= tol:
             break
-    nrm = score.agg(F.sqrt(F.sum(F.col("score") ** 2))).collect()[0][0]
+        old_nrm = nrm
     edges.unpersist()
     v.unpersist()
     if not nrm:

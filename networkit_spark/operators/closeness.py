@@ -24,8 +24,10 @@ def closeness_centrality(
     normalized: bool = True,
 ) -> DataFrame:
     """(id, score) for the given sources (default: all nodes — exact).
-    Standard variant: score(u) = (r−1)/Σd · (r−1)/(n−1) with r = #reached
-    (reference Closeness STANDARD; isolated nodes score 0)."""
+    GENERALIZED variant (Closeness.hpp:78-93 updateScoreData, the
+    disconnected-graph-safe one): score(u) = (r−1)/Σd/(n−1) with r−1 =
+    #reached (excl. source); normalized multiplies by (r−1). Isolated
+    nodes score 0. Hop-count distances (unweighted BFS)."""
     if sources is None:
         sources = [r["id"] for r in graph.V.collect()]
     n = graph.number_of_nodes()
@@ -33,15 +35,13 @@ def closeness_centrality(
     agg = d.groupBy("source").agg(
         F.sum("dist").alias("total"), F.count("*").alias("reached")
     )
+    inv_n1 = F.lit(1.0 / float(max(n - 1, 1)))
     score = agg.select(
         F.col("source").alias("id"),
         (
             (F.col("reached") / F.col("total"))
-            * (
-                (F.col("reached") / F.lit(float(max(n - 1, 1))))
-                if normalized
-                else F.lit(1.0)
-            )
+            * inv_n1
+            * (F.col("reached") if normalized else F.lit(1.0))
         ).alias("score"),
     )
     base = graph.V if len(sources) == n else graph.V.join(

@@ -113,7 +113,10 @@ def minimum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
         lab = comp.select(F.col("c").alias("a")).distinct().select(
             "a", F.col("a").alias("lab")
         )
-        for _ in range(16):
+        # min-label fixpoint over the merge graph — MUST run to convergence
+        # (a fixed cap leaves inconsistent labels → cycle edges next round);
+        # pointer jumping keeps it O(log chain) supersteps
+        while True:
             nbr = (
                 merge.join(lab, "a")
                 .groupBy(F.col("b").alias("a"))
@@ -121,7 +124,15 @@ def minimum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
             )
             new_lab = lab.join(nbr, "a", "left").select(
                 "a", F.least(F.col("lab"), F.coalesce("nl", F.col("lab"))).alias("lab")
-            ).localCheckpoint(eager=True)
+            )
+            jump = new_lab.select(
+                F.col("a").alias("j_a"), F.col("lab").alias("j_lab")
+            )
+            new_lab = (
+                new_lab.join(jump, new_lab.lab == jump.j_a, "left")
+                .select("a", F.coalesce("j_lab", "lab").alias("lab"))
+                .localCheckpoint(eager=True)
+            )
             changed = (
                 new_lab.select(F.col("a").alias("ja"), F.col("lab").alias("nl2"))
                 .join(

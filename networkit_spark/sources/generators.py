@@ -116,6 +116,12 @@ def watts_strogatz(
         "src",
         F.when(rewire, new_dst).otherwise(F.col("dst")).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
+    # a rewired endpoint can collide with an existing ring edge — dedup on
+    # the canonical pair or degree/triangle ops double-count the multi-edge
+    e = e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
     v = spark.range(n).select(F.col("id").cast("long"))
     return GraphDF.from_edges(
         e.withColumn("weight", F.lit(1.0)), directed=False, vertices=v

@@ -120,6 +120,13 @@ def apply_events(
             ),
         )
     )
+    # increments with no base event in this batch apply to the PRIOR graph
+    # state (GraphUpdater applies increaseWeight to existing edges) — they
+    # must not be dropped just because their EDGE_ADDITION landed in an
+    # earlier micro-batch
+    orphan_incs = incs.join(last_base, ["src", "dst"], "left_anti").select(
+        "src", "dst", "inc_w"
+    )
     removed_edges = last_base.filter(F.col("type") == "EDGE_REMOVAL").select(
         "src", "dst"
     )
@@ -130,8 +137,15 @@ def apply_events(
             F.greatest("src", "dst").alias("dst"),
             "weight",
         )
+    survivors = old_edges.join(
+        edge_state.select("src", "dst"), ["src", "dst"], "left_anti"
+    ).join(orphan_incs, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        (F.col("weight") + F.coalesce("inc_w", F.lit(0.0))).alias("weight"),
+    )
     merged = (
-        old_edges.join(edge_state.select("src", "dst"), ["src", "dst"], "left_anti")
+        survivors
         .unionByName(edge_state)
         .join(removed_edges, ["src", "dst"], "left_anti")
     )

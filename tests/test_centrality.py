@@ -63,16 +63,20 @@ def test_katz_centrality_vs_oracle(spark):
     for u, v in TINY_BC_EDGES:
         adj[u].append(v)
         adj[v].append(u)
-    score = {v: 0.0 for v in range(TINY_BC_N)}
+    # reference semantics (KatzCentrality.cpp:22,41-58): init 1.0,
+    # w·α·(old+1) per in-edge (+β), converge on |‖v'‖−‖v‖| ≤ tol
+    score = {v: 1.0 for v in range(TINY_BC_N)}
+    old_nrm = 0.0
     for _ in range(2000):
         new = {
-            v: sum(alpha * (score[u] + 1.0) for u in adj[v]) + beta
+            v: sum(1.0 * alpha * (score[u] + 1.0) for u in adj[v]) + beta
             for v in range(TINY_BC_N)
         }
-        delta = sum(abs(new[v] - score[v]) for v in new)
+        nrm = math.sqrt(sum(s * s for s in new.values()))
         score = new
-        if delta <= 1e-12:
+        if abs(nrm - old_nrm) <= 1e-12:
             break
+        old_nrm = nrm
     nrm = math.sqrt(sum(s * s for s in score.values()))
     for v in range(TINY_BC_N):
         assert math.isclose(got[v], score[v] / nrm, abs_tol=1e-9), v

@@ -78,6 +78,22 @@ def test_weight_update_then_increment(spark):
     }
 
 
+def test_increment_without_base_applies_to_prior_state(spark):
+    """An increment whose EDGE_ADDITION landed in an earlier micro-batch must
+    add onto the existing edge weight (GraphUpdater increaseWeight), not be
+    dropped."""
+    g = GraphDF.from_edge_list(spark, [(0, 1, 2.0), (1, 2, 5.0)], weighted=True,
+                               num_nodes=3)
+    ev = events_from_list(
+        spark, [(0, "EDGE_WEIGHT_INCREMENT", 0, 1, 1.5)]
+    )
+    g2 = apply_events(g, ev)
+    assert {(r["src"], r["dst"]): r["weight"] for r in g2.E.collect()} == {
+        (0, 1): 3.5,
+        (1, 2): 5.0,
+    }
+
+
 def test_dgs_parse(spark):
     lines = spark.createDataFrame(
         [

@@ -35,6 +35,7 @@ KATZ_ALPHA = 0.01
 KATZ_BETA = 0.1
 KATZ_ITERS = 8
 BFS_SOURCE = 1           # a customer id present at every sf
+BETW_DEPTH = 4           # ≥ supplier_co diameter ⇒ betweenness_fixed exact
 SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 LSH_PLANES = 4
@@ -260,6 +261,15 @@ def q_kcore_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_decomposition(g).orderBy("id")
 
 
+def q_betweenness_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.betweenness import betweenness_fixed
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = betweenness_fixed(g, max_depth=BETW_DEPTH)
+    return _round6(out, "score").orderBy("id")
+
+
 def q_transcripts_conv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.sources.transcripts import conv_adjacency_edges
 
@@ -423,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_customer_supplier": q_bfs_customer_supplier,
         "triangle_edge_score_supplier": q_triangle_edge_score_supplier,
         "kcore_supplier_co": q_kcore_supplier_co,
+        "betweenness_supplier_co": q_betweenness_supplier_co,
         "transcripts_conv_edges": q_transcripts_conv_edges,
         "wcc_transcripts_conv": q_wcc_transcripts_conv,
         "events_sessions": q_events_sessions,
@@ -636,6 +647,59 @@ def _katz_sql(edges_cte: str, alpha: float, beta: float, iters: int) -> str:
         f"nrm AS (SELECT SQRT(SUM(score * score)) AS s FROM r{iters})\n"
         f"SELECT id, ROUND(score / (SELECT s FROM nrm), 6) AS score"
         f" FROM r{iters} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _betweenness_sql(edges_cte: str, depth: int) -> str:
+    """Unrolled Brandes matching operators/betweenness.py betweenness_fixed:
+    forward level CTEs carry (source, id, σ); backward CTEs accumulate
+    δ[u] = Σ σ_u/σ_v·(1+δ_v) over depth-(k+1) successors; bc = Σ_{s≠v} δ."""
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst FROM edges WHERE src != dst"
+        " UNION SELECT dst, src FROM edges WHERE src != dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "l0 AS (SELECT id AS source, id, 1.0 AS sigma FROM v),",
+        "vis0 AS (SELECT source, id FROM l0),",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(
+            f"l{k} AS (SELECT f.source, e.dst AS id, SUM(f.sigma) AS sigma"
+            f" FROM esym e JOIN l{k-1} f ON e.src = f.id"
+            f" LEFT JOIN vis{k-1} vz ON vz.source = f.source AND vz.id = e.dst"
+            f" WHERE vz.id IS NULL GROUP BY f.source, e.dst),"
+        )
+        parts.append(
+            f"vis{k} AS (SELECT source, id FROM vis{k-1}"
+            f" UNION ALL SELECT source, id FROM l{k}),"
+        )
+    parts.append(
+        f"d{depth} AS (SELECT source, id, sigma, 0.0 AS delta FROM l{depth}),"
+    )
+    for k in range(depth - 1, -1, -1):
+        parts.append(
+            f"d{k} AS (SELECT u.source, u.id, u.sigma,"
+            f" COALESCE(s.dep, 0.0) AS delta"
+            f" FROM l{k} u LEFT JOIN ("
+            f"SELECT uu.source, uu.id,"
+            f" SUM(uu.sigma / vv.sigma * (1.0 + vv.delta)) AS dep"
+            f" FROM l{k} uu JOIN esym e ON e.src = uu.id"
+            f" JOIN d{k+1} vv ON vv.source = uu.source AND vv.id = e.dst"
+            f" GROUP BY uu.source, uu.id"
+            f") s ON s.source = u.source AND s.id = u.id),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT source, id, delta FROM d{k}" for k in range(depth + 1)
+    )
+    parts.append(f"alld AS ({union}),")
+    parts.append(
+        "bc AS (SELECT id, SUM(delta) AS score FROM alld"
+        " WHERE source != id GROUP BY id)"
+    )
+    parts.append(
+        "SELECT v.id, ROUND(COALESCE(bc.score, 0.0), 6) AS score"
+        " FROM v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id"
     )
     return "\n".join(parts)
 
@@ -854,6 +918,9 @@ SELECT ROUND(CORR(ds.d, dd.d), 6) AS assortativity
 FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
 """,
         "bfs_customer_supplier": _bfs_sql(tg.CS_EDGES_CTE.strip(), BFS_SOURCE),
+        "betweenness_supplier_co": _betweenness_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), BETW_DEPTH
+        ),
         "triangle_edge_score_supplier": f"""
 WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
 {_TRIANGLE_CORE.strip()},

@@ -298,6 +298,44 @@ def q_wcc_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weakly_connected_components(g).orderBy("id")
 
 
+def q_scc_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC over the DIRECTED conv-adjacency graph (WCC alone is half the
+    story on directed transcript graphs — VERDICT r1 #2)."""
+    from networkit_spark.operators.components import strongly_connected_components
+    from networkit_spark.sources.transcripts import conv_adjacency_edges
+
+    tune_for_iteration(spark)
+    t = synthesize_transcripts(spark, N_CONVS)
+    e = conv_adjacency_edges(t).select(
+        F.substring("src_conv", 6, 6).cast("long").alias("src"),
+        F.substring("dst_conv", 6, 6).cast("long").alias("dst"),
+        "weight",
+    )
+    g = GraphDF.from_edges(e, directed=True, weighted=True)
+    return strongly_connected_components(g).orderBy("id")
+
+
+def _scc_sql(edges_cte: str) -> str:
+    """Mutual transitive closure: SCC(v) = min u with v→*u AND u→*v;
+    component = dense rank of that min id (engine determinism contract)."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+mutual AS (
+  SELECT r1.id AS id, MIN(r1.r) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.r = r2.id AND r2.r = r1.id
+  GROUP BY r1.id
+)
+SELECT id, CAST(DENSE_RANK() OVER (ORDER BY mn) - 1 AS BIGINT) AS component
+FROM mutual ORDER BY id
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per user, 30-min inactivity gap splits sessions —
     the canonical streaming-adjacent window op."""
@@ -436,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_supplier_co": q_betweenness_supplier_co,
         "transcripts_conv_edges": q_transcripts_conv_edges,
         "wcc_transcripts_conv": q_wcc_transcripts_conv,
+        "scc_transcripts_conv": q_scc_transcripts_conv,
         "events_sessions": q_events_sessions,
         "quality_documents": q_quality_documents,
         "language_id_documents": q_language_id_documents,
@@ -941,6 +980,7 @@ WITH {_conv_edges_cte(N_CONVS).strip()}
 SELECT src, dst, weight FROM edges ORDER BY src, dst
 """,
         "wcc_transcripts_conv": _wcc_sql(_conv_edges_cte(N_CONVS).strip()),
+        "scc_transcripts_conv": _scc_sql(_conv_edges_cte(N_CONVS).strip()),
         "events_sessions": f"""
 WITH marked AS (
   SELECT user_id, event_id, ts,

@@ -157,6 +157,157 @@ def weakly_connected_components(
     return renumber_dense_by_min_id(labels)
 
 
+def strongly_connected_components(
+    graph: GraphDF, max_rounds: int = 100, max_inner: int = 100
+) -> DataFrame:
+    """(id: long, component: long) — SCCs of a DIRECTED graph.
+
+    Reference: StronglyConnectedComponents.cpp:33-140 (iterative Tarjan).
+    A DFS stack doesn't distribute; the Spark-native equivalent is
+    forward-max coloring + backward containment (the FB/ColorSCC family):
+      1. color(v) := max node id that reaches v, computed by max-propagation
+         over in-edges WITH pointer jumping (colors are node ids, so
+         color(v) ← max(color(v), color(color(v))) halves remaining depth —
+         O(log n) supersteps, same trick as hash-min WCC).
+      2. Every color class c contains the pivot v = c; SCC(c) = nodes of
+         color c that reach c BACKWARD within the class (level BFS over
+         reversed edges restricted to color c).
+      3. Peel those SCCs off the active set; repeat.
+    Component ids follow this engine's determinism contract: dense rank of
+    the SCC's minimum node id (the reference's Tarjan completion order is
+    DFS-dependent; structure matches exactly, ids are renumbered —
+    partition-isomorphic, as its own testComparePartitions does).
+    """
+    if not graph.directed:
+        raise ValueError("strongly_connected_components requires a directed graph")
+    # Spark's constraint-propagation rewrite chokes on unions of
+    # checkpointed per-round label parts ("key not found: id#N" in
+    # UnionBase.rewriteConstraints); all joins here are explicit, so the
+    # optimization buys nothing — disable it for the duration.
+    spark = graph.V.sparkSession
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _scc_impl(graph, max_rounds, max_inner)
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+
+def _scc_impl(graph: GraphDF, max_rounds: int, max_inner: int) -> DataFrame:
+    e_all = (
+        graph.E.select("src", "dst").filter("src != dst").distinct()
+        .repartition("src").sortWithinPartitions("src").persist()
+    )
+    e_all.count()
+    active_e = e_all
+    active_v = graph.V.select("id").localCheckpoint(eager=True)
+    assigned = []  # DataFrames (id, label) with label = SCC pivot id
+
+    for _ in range(max_rounds):
+        if active_v.limit(1).count() == 0:
+            break
+        # ---- 1. forward max coloring with pointer jumping
+        color = active_v.select("id", F.col("id").alias("color"))
+        color = color.localCheckpoint(eager=True)
+        for _ in range(max_inner):
+            nbr = (
+                active_e.join(color, active_e.src == color.id)
+                .groupBy("dst")
+                .agg(F.max("color").alias("nbr_color"))
+            )
+            new_color = (
+                color.join(nbr, color.id == nbr.dst, "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("color"), F.coalesce("nbr_color", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            parent = new_color.select(
+                F.col("id").alias("p_id"), F.col("color").alias("p_color")
+            )
+            new_color = (
+                new_color.join(parent, new_color.color == parent.p_id, "left")
+                .select("id", F.greatest(
+                    F.col("color"), F.coalesce("p_color", F.col("color"))
+                ).alias("color"))
+                .persist()
+            )
+            n_changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            new_color = new_color.localCheckpoint(eager=True)
+            color = new_color
+            if n_changed == 0:
+                break
+        # ---- 2. backward BFS from pivots within each color class
+        # reversed edges restricted to same-color endpoints
+        c_src = color.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
+        c_dst = color.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
+        e_same = (
+            active_e.join(c_src, "src").join(c_dst, "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select(F.col("dst").alias("from_"), F.col("src").alias("to_"),
+                    F.col("c_src").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        member = color.filter(F.col("id") == F.col("color")).select(
+            "color", F.col("id")
+        ).localCheckpoint(eager=True)
+        frontier = member
+        for _ in range(max_inner):
+            nxt = (
+                e_same.join(
+                    frontier.select("color", F.col("id").alias("from_")),
+                    ["color", "from_"],
+                )
+                .select("color", F.col("to_").alias("id"))
+                .distinct()
+                .join(member, ["color", "id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            member = member.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        scc = member.select("id", F.col("color").alias("label"))
+        assigned.append(scc.localCheckpoint(eager=True))
+        # ---- 3. peel
+        active_v = active_v.join(scc.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        active_e = (
+            active_e.join(active_v.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(active_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    e_all.unpersist()
+    if not assigned:
+        return graph.V.select(
+            "id", F.lit(0).cast("long").alias("component")
+        ).limit(0)
+    labels = assigned[0]
+    for p in assigned[1:]:
+        labels = labels.unionByName(p)
+    # label = pivot (max id of SCC); renumber by per-SCC MIN id for the
+    # deterministic contract shared with connected_components
+    # truncate the multi-round union lineage before the window renumber
+    # (Spark's Union constraint rewrite chokes on deep mixed-origin unions)
+    labels = labels.localCheckpoint(eager=True)
+    min_id = labels.groupBy("label").agg(F.min("id").alias("mlabel"))
+    relabeled = labels.join(min_id, "label").select(
+        "id", F.col("mlabel").alias("label")
+    )
+    # materialize before the config guard in strongly_connected_components
+    # restores constraint propagation (the plan must not be re-analyzed
+    # lazily outside the guarded region)
+    return renumber_dense_by_min_id(relabeled).localCheckpoint(eager=True)
+
+
 def extract_largest_connected_component(
     graph: GraphDF, compact: bool = True
 ) -> GraphDF:

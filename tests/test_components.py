@@ -74,3 +74,100 @@ def test_extract_largest_connected_component(spark):
     # compacted ids are order-preserving → 0..5
     ids = sorted(r["id"] for r in sub.V.collect())
     assert ids == list(range(LCC_EXTRACT_LARGEST_NODES))
+
+
+# ----------------------------------------------------------------- SCC
+
+SCC_TINY_EDGES = [  # ConnectedComponentsGTest.cpp:151-168 (8 nodes, 14 edges)
+    (0, 4), (1, 0), (2, 1), (2, 3), (3, 2), (4, 1), (5, 1),
+    (5, 4), (5, 6), (6, 2), (6, 5), (7, 3), (7, 6), (7, 7),
+]
+SCC_TINY_GROUPS = [{0, 1, 4}, {2, 3}, {5, 6}, {7}]
+
+
+def _tarjan_oracle(n, edges):
+    """Iterative Tarjan (matches StronglyConnectedComponents.cpp:33
+    semantics); returns list of frozenset components."""
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+    index = [None] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    comps = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] is None:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = set()
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp.add(w)
+                        if w == v:
+                            break
+                    comps.append(frozenset(comp))
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+    for v in range(n):
+        if index[v] is None:
+            strongconnect(v)
+    return comps
+
+
+def _groups(labels: dict) -> set:
+    from collections import defaultdict
+
+    g = defaultdict(set)
+    for node, comp in labels.items():
+        g[comp].add(node)
+    return {frozenset(s) for s in g.values()}
+
+
+def test_scc_tiny_golden(spark):
+    from networkit_spark.operators.components import strongly_connected_components
+
+    g = GraphDF.from_edge_list(spark, SCC_TINY_EDGES, directed=True, num_nodes=8)
+    labels = _labels(strongly_connected_components(g))
+    assert _groups(labels) == {frozenset(s) for s in SCC_TINY_GROUPS}
+    # determinism contract: component = dense rank of SCC min id
+    assert labels[0] == 0 and labels[2] == 1 and labels[5] == 2 and labels[7] == 3
+
+
+def test_scc_matches_tarjan_on_powerlaw(spark):
+    from networkit_spark.operators.components import strongly_connected_components
+
+    n, edges = 120, powerlaw_directed_edges(120, 500, seed=11)
+    g = GraphDF.from_edge_list(spark, edges, directed=True, num_nodes=n)
+    labels = _labels(strongly_connected_components(g))
+    assert _groups(labels) == set(_tarjan_oracle(n, edges))
+
+
+def test_scc_requires_directed(spark):
+    from networkit_spark.operators.components import strongly_connected_components
+
+    g = GraphDF.from_edge_list(spark, [(0, 1)], num_nodes=2)
+    with pytest.raises(ValueError):
+        strongly_connected_components(g)

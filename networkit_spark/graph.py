@@ -297,25 +297,31 @@ class GraphDF:
         return GraphDF(keep_v, e_out, directed=self.directed, weighted=self.weighted)
 
     def index_edges(self) -> DataFrame:
-        """indexEdges (Graph.cpp:231): deterministic edge ids — row_number
-        over canonical (src,dst) order, NOT monotonically_increasing_id
-        (unstable across partitioning)."""
-        w = Window.orderBy("src", "dst")
-        return self.E.withColumn("edge_id", F.row_number().over(w) - F.lit(1))
+        """indexEdges (Graph.cpp:231): deterministic edge ids in canonical
+        (src,dst) order — two-stage scale-safe rank (plans/ranking.py), NOT
+        monotonically_increasing_id (unstable across partitioning) and NOT
+        a single-partition global window."""
+        from networkit_spark.plans.ranking import global_row_numbers
+
+        return global_row_numbers(self.E, ["src", "dst"], out_col="edge_id")
+
+    def sort_edges(self) -> DataFrame:
+        """sortEdges (Graph.cpp:1216 analog): edge table ordered by
+        (src, dst) within range partitions — the sorted-cache layout every
+        iterative kernel builds internally."""
+        return (
+            self.E.repartitionByRange(F.col("src"))
+            .sortWithinPartitions("src", "dst")
+        )
 
     def compact_node_ids(self) -> tuple["GraphDF", DataFrame]:
         """getContinuousNodeIds/getCompactedGraph (GraphTools.cpp:384-400):
         order-preserving remap old→[0,n). Returns (graph', mapping(old_id,new_id)).
+        Two-stage scale-safe rank — no single-partition window."""
+        from networkit_spark.plans.ranking import global_row_numbers
 
-        Scale note: a global row_number over one partition is a driver-ish
-        bottleneck; we use zipWithIndex-free dense_rank over sorted ids which
-        Spark executes as a global sort — acceptable for id dictionaries,
-        which are ~|V| not |E|.
-        """
-        w = Window.orderBy("id")
-        mapping = self.V.select(
-            F.col("id").alias("old_id"),
-            (F.row_number().over(w) - F.lit(1)).cast("long").alias("new_id"),
+        mapping = global_row_numbers(self.V, ["id"], out_col="new_id").select(
+            F.col("id").alias("old_id"), F.col("new_id").cast("long").alias("new_id")
         )
         src_map = mapping.select(F.col("old_id").alias("src"), F.col("new_id").alias("new_src"))
         dst_map = mapping.select(F.col("old_id").alias("dst"), F.col("new_id").alias("new_dst"))

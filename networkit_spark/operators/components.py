@@ -117,12 +117,12 @@ def renumber_dense_by_min_id(labels: DataFrame) -> DataFrame:
     """(id,label) → (id,component): component = dense rank of per-component
     min node id, matching the sequential reference's discovery order
     (ConnectedComponents.cpp:27-60). Labels from hash-min already equal the
-    component's min id, so this is a dense_rank over the distinct labels."""
-    distinct = labels.select("label").distinct()
-    w = Window.orderBy("label")
-    renum = distinct.withColumn(
-        "component", (F.dense_rank().over(w) - F.lit(1)).cast("long")
-    )
+    component's min id, so this is a dense_rank over the distinct labels —
+    computed with the two-stage scale-safe rank (plans/ranking.py), never a
+    single-partition global window."""
+    from networkit_spark.plans.ranking import dense_rank_of_distinct
+
+    renum = dense_rank_of_distinct(labels, "label", "component")
     return labels.join(renum, "label").select("id", "component")
 
 

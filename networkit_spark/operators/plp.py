@@ -166,12 +166,11 @@ def plp_fixed(graph: GraphDF, iterations: int) -> DataFrame:
 
 def compact_partition(labels: DataFrame) -> DataFrame:
     """Partition::compact non-turbo semantics (Partition.cpp:69-95): new id =
-    rank of old label in sorted old-label order."""
-    w = Window.orderBy("label")
-    distinct = labels.select("label").distinct()
-    renum = distinct.withColumn(
-        "new_label", (F.dense_rank().over(w) - F.lit(1)).cast("long")
-    )
+    rank of old label in sorted old-label order — two-stage scale-safe rank
+    (plans/ranking.py), never a single-partition global window."""
+    from networkit_spark.plans.ranking import dense_rank_of_distinct
+
+    renum = dense_rank_of_distinct(labels, "label", "new_label")
     return labels.join(renum, "label").select(
         "id", F.col("new_label").alias("label")
     )

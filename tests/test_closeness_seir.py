@@ -71,3 +71,42 @@ def test_seir_progression(spark):
     a = sorted(map(tuple, final.collect()))
     b = sorted(map(tuple, f2.collect()))
     assert a == b
+
+
+def test_closeness_chunked_equals_unchunked(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    a = {r["id"]: r["score"] for r in closeness_centrality(g, n_chunks=1).collect()}
+    b = {r["id"]: r["score"] for r in closeness_centrality(g, n_chunks=4).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12), k
+
+
+def test_closeness_never_collects_sources(spark, monkeypatch):
+    """The scale contract (VERDICT r1 #1): building + executing exact
+    closeness must not enumerate the vertex set on the driver."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect during closeness")
+
+    monkeypatch.setattr(CDF, "collect", _no_collect)
+    df = closeness_centrality(g)          # builds AND runs chunk checkpoints
+    dfh = harmonic_closeness(g)
+    monkeypatch.undo()
+    assert df.count() == KARATE_N and dfh.count() == KARATE_N
+
+
+def test_effective_diameter_exact_and_approx(spark):
+    from networkit_spark.operators.bfs import (
+        effective_diameter_approx,
+        effective_diameter_exact,
+    )
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    exact = effective_diameter_exact(g, ratio=0.9)
+    approx = effective_diameter_approx(g, ratio=0.9)
+    assert 1.0 <= exact <= 5.0
+    assert abs(approx - exact) <= 1.5  # FM sketch tolerance on 34 nodes

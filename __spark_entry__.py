@@ -36,6 +36,8 @@ KATZ_BETA = 0.1
 KATZ_ITERS = 8
 BFS_SOURCE = 1           # a customer id present at every sf
 BETW_DEPTH = 4           # ≥ supplier_co diameter ⇒ betweenness_fixed exact
+KCORE_ITERS = 6          # h-index fixpoint reached in 2 on supplier_co sf0.01
+CLOSE_DEPTH = 8          # ≥ supplier_co diameter for the closeness oracle
 SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 LSH_PLANES = 4
@@ -254,11 +256,14 @@ def q_triangle_edge_score_supplier(
 
 
 def q_kcore_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from networkit_spark.operators.kcore import core_decomposition
+    """Core numbers via the h-index iteration (the scale path; == peel-loop
+    output, pinned by tests/test_traversal_kcore.py) — fixed supersteps so
+    the DuckDB oracle unrolls the identical computation."""
+    from networkit_spark.operators.kcore import core_decomposition_hindex
 
     tune_for_iteration(spark)
     g = tg.supplier_co_graph(spark, sf_dir)
-    return core_decomposition(g).orderBy("id")
+    return core_decomposition_hindex(g, fixed_iterations=KCORE_ITERS).orderBy("id")
 
 
 def q_betweenness_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +273,37 @@ def q_betweenness_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tg.supplier_co_graph(spark, sf_dir)
     out = betweenness_fixed(g, max_depth=BETW_DEPTH)
     return _round6(out, "score").orderBy("id")
+
+
+def q_closeness_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.closeness import closeness_centrality
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = closeness_centrality(g, normalized=True)
+    return _round6(out, "score").orderBy("id")
+
+
+def q_harmonic_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.closeness import harmonic_closeness
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = harmonic_closeness(g, normalized=True)
+    return _round6(out, "score").orderBy("id")
+
+
+def q_modularity_plp_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar modularity of the fixed-sweep PLP partition (Modularity.cpp
+    self-loop conventions; supplier_co has none)."""
+    from networkit_spark.operators.community import modularity
+    from networkit_spark.operators.plp import plp_fixed
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    labels = plp_fixed(g, iterations=PLP_SWEEPS)
+    val = modularity(g, labels)
+    return spark.createDataFrame([(round(val, 6),)], "modularity double")
 
 
 def q_transcripts_conv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_edge_score_supplier": q_triangle_edge_score_supplier,
         "kcore_supplier_co": q_kcore_supplier_co,
         "betweenness_supplier_co": q_betweenness_supplier_co,
+        "closeness_supplier_co": q_closeness_supplier_co,
+        "harmonic_supplier_co": q_harmonic_supplier_co,
+        "modularity_plp_supplier": q_modularity_plp_supplier,
         "transcripts_conv_edges": q_transcripts_conv_edges,
         "wcc_transcripts_conv": q_wcc_transcripts_conv,
         "scc_transcripts_conv": q_scc_transcripts_conv,
@@ -503,12 +542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _mat(sql: str) -> str:
     """Force CTE materialization in DuckDB — inlined CTE chains re-evaluate
     the whole unrolled iteration pyramid (77s → 0.2s on the sf0.01 pagerank
-    oracle). Recursive CTEs must stay plain."""
-    return (
-        sql.replace("reach(id, r) AS (", "@@REC@@")
-        .replace(" AS (", " AS MATERIALIZED (")
-        .replace("@@REC@@", "reach(id, r) AS (")
-    )
+    oracle). Recursive CTEs must stay plain: they are written with explicit
+    column lists ("walk(source, id, d) AS ("), so ') AS (' is left alone and
+    only word-terminated CTE names ("edges AS (") get MATERIALIZED."""
+    import re
+
+    return re.sub(r"(?<=\w) AS \(", " AS MATERIALIZED (", sql)
 
 
 def _pagerank_sql(edges_cte: str, iters: int, damping: float) -> str:
@@ -556,9 +595,8 @@ FROM comp ORDER BY id
 """
 
 
-def _plp_sql(edges_cte: str, sweeps: int) -> str:
-    """Synchronous PLP, unrolled; (max summed weight, min label) tie-break —
-    matches operators/plp.py plp_fixed."""
+def _plp_cte_parts(edges_cte: str, sweeps: int) -> list[str]:
+    """Shared CTE chain for PLP-label consumers (every part ends in ',')."""
     parts = [
         f"WITH {edges_cte},",
         "esym AS (SELECT src, dst, weight FROM edges WHERE src != dst"
@@ -580,11 +618,127 @@ def _plp_sql(edges_cte: str, sweeps: int) -> str:
             f"  WHERE rn = 1"
             f") w ON p.id = w.id),"
         )
+    return parts
+
+
+def _plp_sql(edges_cte: str, sweeps: int) -> str:
+    """Synchronous PLP, unrolled; (max summed weight, min label) tie-break —
+    matches operators/plp.py plp_fixed."""
+    parts = _plp_cte_parts(edges_cte, sweeps)
     parts[-1] = parts[-1].rstrip(",")  # last CTE: no trailing comma
     parts.append(
         f"SELECT id, CAST(label AS BIGINT) AS label FROM l{sweeps} ORDER BY id"
     )
     return "\n".join(parts)
+
+
+def _modularity_plp_sql(edges_cte: str, sweeps: int) -> str:
+    """Scalar modularity of the unrolled-PLP partition, matching
+    operators/community.py modularity (Modularity.cpp:25-87: Q = intra/total
+    − Σ_C vol(C)²/(2·total)², self-loop weight doubled in volume)."""
+    parts = _plp_cte_parts(edges_cte, sweeps)
+    parts.append(
+        f"je AS (SELECT e.src, e.dst, e.weight, ls.label AS l_src,"
+        f" ld.label AS l_dst FROM edges e"
+        f" JOIN l{sweeps} ls ON e.src = ls.id"
+        f" JOIN l{sweeps} ld ON e.dst = ld.id),"
+    )
+    parts.append(
+        "tot AS (SELECT SUM(weight) AS total,"
+        " SUM(CASE WHEN l_src = l_dst THEN weight ELSE 0.0 END) AS intra"
+        " FROM je),"
+    )
+    parts.append(
+        "volparts AS (SELECT l_src AS label,"
+        " CASE WHEN src = dst THEN 2 * weight ELSE weight END AS w FROM je"
+        " UNION ALL SELECT l_dst, weight FROM je WHERE src != dst),"
+    )
+    parts.append(
+        "vol AS (SELECT label, SUM(w) AS vol FROM volparts GROUP BY label),"
+    )
+    parts.append("vsq AS (SELECT SUM(vol * vol) AS s FROM vol)")
+    parts.append(
+        "SELECT ROUND((SELECT intra FROM tot) / (SELECT total FROM tot)"
+        " - (SELECT s FROM vsq) / POWER(2 * (SELECT total FROM tot), 2), 6)"
+        " AS modularity"
+    )
+    return "\n".join(parts)
+
+
+def _kcore_hindex_sql(edges_cte: str, iters: int) -> str:
+    """Unrolled h-index core decomposition matching
+    operators/kcore.py core_decomposition_hindex(fixed_iterations=iters):
+    c₀ = degree; c_{t+1}(u) = max over ranked neighbor values of
+    min(value, rank)."""
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst FROM edges WHERE src != dst"
+        " UNION SELECT dst, src FROM edges WHERE src != dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "c0 AS (SELECT v.id, CAST(COALESCE(d.d, 0) AS BIGINT) AS val FROM v"
+        " LEFT JOIN (SELECT src AS id, COUNT(*) AS d FROM esym GROUP BY src) d"
+        " ON v.id = d.id),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS (SELECT v.id, CAST(COALESCE(h.h, 0) AS BIGINT) AS val"
+            f" FROM v LEFT JOIN ("
+            f"  SELECT dst, MAX(LEAST(val, rnk)) AS h FROM ("
+            f"    SELECT e.dst, c.val,"
+            f"    ROW_NUMBER() OVER (PARTITION BY e.dst"
+            f"      ORDER BY c.val DESC, c.id ASC) AS rnk"
+            f"    FROM esym e JOIN c{t-1} c ON e.src = c.id)"
+            f"  GROUP BY dst"
+            f") h ON v.id = h.dst),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, val AS core FROM c{iters} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _closeness_sql(edges_cte: str, max_d: int, harmonic: bool = False) -> str:
+    """All-sources batched BFS as one recursive CTE; generalized-variant
+    normalized closeness (Closeness.hpp:78-93) or harmonic closeness —
+    matches operators/closeness.py on an undirected graph."""
+    if harmonic:
+        score = (
+            "ROUND(COALESCE(ag.h / ((SELECT n FROM nn) - 1), 0.0), 6) AS score"
+        )
+        agg = (
+            "ag AS (SELECT source, SUM(1.0 / dist) AS h"
+            " FROM md WHERE dist > 0 GROUP BY source),"
+        )
+    else:
+        score = (
+            "ROUND(COALESCE((ag.reached / ag.total)"
+            " * (1.0 / ((SELECT n FROM nn) - 1)) * ag.reached, 0.0), 6)"
+            " AS score"
+        )
+        agg = (
+            "ag AS (SELECT source, SUM(dist) AS total, COUNT(*) AS reached"
+            " FROM md WHERE dist > 0 GROUP BY source),"
+        )
+    # NOTE: under WITH RECURSIVE, DuckDB parses "x AS (a UNION b)" as a
+    # recursive CTE and skips the dedup — spell the DISTINCT explicitly
+    return f"""
+WITH RECURSIVE {edges_cte},
+esym AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges WHERE src != dst
+         UNION ALL SELECT dst, src FROM edges WHERE src != dst)),
+v AS (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT walk.source, u.dst, walk.d + 1
+  FROM walk JOIN esym u ON u.src = walk.id
+  WHERE walk.d < {max_d}
+),
+md AS (SELECT source, id, MIN(d) AS dist FROM walk GROUP BY source, id),
+{agg}
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)
+SELECT v.id, {score}
+FROM v LEFT JOIN ag ON v.id = ag.source ORDER BY v.id
+"""
 
 
 _TRIANGLE_CORE = """
@@ -959,6 +1113,18 @@ FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
         "bfs_customer_supplier": _bfs_sql(tg.CS_EDGES_CTE.strip(), BFS_SOURCE),
         "betweenness_supplier_co": _betweenness_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), BETW_DEPTH
+        ),
+        "closeness_supplier_co": _closeness_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH
+        ),
+        "harmonic_supplier_co": _closeness_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH, harmonic=True
+        ),
+        "modularity_plp_supplier": _modularity_plp_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS
+        ),
+        "kcore_supplier_co": _kcore_hindex_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), KCORE_ITERS
         ),
         "triangle_edge_score_supplier": f"""
 WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},

@@ -99,3 +99,21 @@ def test_core_decomposition_karate(spark):
     want = _core_oracle(KARATE_N, KARATE_EDGES)
     assert got == want
     assert max_core_number(core_decomposition(g)) == 4  # known karate max core
+
+
+def test_kcore_hindex_equals_peel(spark):
+    """h-index propagation (the scale path) must converge to the exact peel
+    result (Lü et al. 2016 theorem; both vs CoreDecomposition.cpp semantics)."""
+    from networkit_spark.operators.kcore import core_decomposition_hindex
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    peel = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    hidx = {r["id"]: r["core"] for r in core_decomposition_hindex(g).collect()}
+    assert hidx == peel
+
+    from networkit_spark.sources.generators import watts_strogatz
+
+    g2 = watts_strogatz(spark, 80, 6, 0.2, seed=9)
+    peel2 = {r["id"]: r["core"] for r in core_decomposition(g2).collect()}
+    hidx2 = {r["id"]: r["core"] for r in core_decomposition_hindex(g2).collect()}
+    assert hidx2 == peel2

@@ -306,6 +306,30 @@ def q_modularity_plp_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(val, 6),)], "modularity double")
 
 
+def q_partition_measures_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI / AdjustedRand / GraphStructuralRand distances between the PLP
+    partition and the degree partition of the customer→supplier graph —
+    the three standard community comparators in one scalar row."""
+    from networkit_spark.operators.community import (
+        adjusted_rand_distance,
+        graph_structural_rand,
+        nmi_distance,
+    )
+    from networkit_spark.operators.plp import plp_fixed
+
+    tune_for_iteration(spark)
+    g = tg.customer_supplier_graph(spark, sf_dir)
+    pa = plp_fixed(g, iterations=PLP_SWEEPS)
+    pb = g.degrees().select("id", F.col("degree").cast("long").alias("label"))
+    nmi = nmi_distance(pa, pb)
+    ar = adjusted_rand_distance(pa, pb)
+    gsr = graph_structural_rand(g, pa, pb)
+    return spark.createDataFrame(
+        [(round(nmi, 6), round(ar, 6), round(gsr, 6))],
+        "nmi double, adj_rand double, structural_rand double",
+    )
+
+
 def q_transcripts_conv_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.sources.transcripts import conv_adjacency_edges
 
@@ -511,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_supplier_co": q_closeness_supplier_co,
         "harmonic_supplier_co": q_harmonic_supplier_co,
         "modularity_plp_supplier": q_modularity_plp_supplier,
+        "partition_measures_cs": q_partition_measures_cs,
         "transcripts_conv_edges": q_transcripts_conv_edges,
         "wcc_transcripts_conv": q_wcc_transcripts_conv,
         "scc_transcripts_conv": q_scc_transcripts_conv,
@@ -662,6 +687,54 @@ def _modularity_plp_sql(edges_cte: str, sweeps: int) -> str:
         " - (SELECT s FROM vsq) / POWER(2 * (SELECT total FROM tot), 2), 6)"
         " AS modularity"
     )
+    return "\n".join(parts)
+
+
+def _partition_measures_sql(edges_cte: str, sweeps: int) -> str:
+    """NMI / AdjustedRand / GraphStructuralRand between the unrolled-PLP
+    partition and the out-degree partition — matches
+    operators/community.py nmi_distance / adjusted_rand_distance /
+    graph_structural_rand (NMIDistance.cpp, AdjustedRandMeasure.cpp,
+    GraphStructuralRandMeasure.cpp)."""
+    parts = _plp_cte_parts(edges_cte, sweeps)
+    parts += [
+        f"pa AS (SELECT id, label FROM l{sweeps}),",
+        "pb AS (SELECT v.id, CAST(COALESCE(d.d, 0) AS BIGINT) AS label FROM v"
+        " LEFT JOIN (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src) d"
+        " ON v.id = d.id),",
+        "cont AS (SELECT pa.label AS la, pb.label AS lb, COUNT(*) AS n"
+        " FROM pa JOIN pb ON pa.id = pb.id GROUP BY 1, 2),",
+        "nn2 AS (SELECT CAST(SUM(n) AS DOUBLE) AS n FROM cont),",
+        "ma AS (SELECT la, SUM(n) AS ca FROM cont GROUP BY la),",
+        "mb AS (SELECT lb, SUM(n) AS cb FROM cont GROUP BY lb),",
+        "mi AS (SELECT SUM((n / (SELECT n FROM nn2))"
+        " * LOG2(n * (SELECT n FROM nn2) / (ca * cb))) AS mi"
+        " FROM cont JOIN ma USING (la) JOIN mb USING (lb)),",
+        "ha AS (SELECT SUM(-(ca / (SELECT n FROM nn2))"
+        " * LOG2(ca / (SELECT n FROM nn2))) AS h FROM ma),",
+        "hb AS (SELECT SUM(-(cb / (SELECT n FROM nn2))"
+        " * LOG2(cb / (SELECT n FROM nn2))) AS h FROM mb),",
+        "ri AS (SELECT SUM(FLOOR(n * (n - 1) / 2)) AS r FROM cont),",
+        "sa2 AS (SELECT SUM(FLOOR(ca * (ca - 1) / 2)) AS s FROM ma),",
+        "sb2 AS (SELECT SUM(FLOOR(cb * (cb - 1) / 2)) AS s FROM mb),",
+        "ari AS (SELECT 0.5 * ((SELECT s FROM sa2) + (SELECT s FROM sb2)) AS maxi,"
+        " ((SELECT s FROM sa2) * (SELECT s FROM sb2))"
+        " / ((SELECT n FROM nn2) * ((SELECT n FROM nn2) - 1) / 2) AS expi,"
+        " (SELECT r FROM ri) AS r),",
+        "gsr AS (SELECT 1.0 - SUM(CASE WHEN (ls.label = ld.label)"
+        " = (ds.label = dd.label) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS g"
+        " FROM edges e JOIN pa ls ON e.src = ls.id"
+        " JOIN pa ld ON e.dst = ld.id"
+        " JOIN pb ds ON e.src = ds.id JOIN pb dd ON e.dst = dd.id)",
+        "SELECT"
+        " ROUND(CASE WHEN ((SELECT h FROM ha) + (SELECT h FROM hb)) = 0"
+        " THEN 0.0 ELSE 1.0 - 2.0 * (SELECT mi FROM mi)"
+        " / ((SELECT h FROM ha) + (SELECT h FROM hb)) END, 6) AS nmi,"
+        " ROUND(CASE WHEN maxi = 0 OR maxi = expi THEN 0.0"
+        " ELSE 1.0 - (r - expi) / (maxi - expi) END, 6) AS adj_rand,"
+        " ROUND((SELECT g FROM gsr), 6) AS structural_rand"
+        " FROM ari",
+    ]
     return "\n".join(parts)
 
 
@@ -1122,6 +1195,9 @@ FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
         ),
         "modularity_plp_supplier": _modularity_plp_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS
+        ),
+        "partition_measures_cs": _partition_measures_sql(
+            tg.CS_EDGES_CTE.strip(), PLP_SWEEPS
         ),
         "kcore_supplier_co": _kcore_hindex_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), KCORE_ITERS

@@ -12,6 +12,8 @@ exactly a groupBy on (label(src), label(dst)).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,14 +169,127 @@ def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
     """PartitionIntersection (community/PartitionIntersection.cpp): finest
     common refinement — new label per distinct (la, lb) pair, dense ids in
     sorted (la, lb) order."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
     joined = a.select("id", F.col("label").alias("la")).join(
         b.select("id", F.col("label").alias("lb")), "id"
     )
-    w = Window.orderBy("la", "lb")
-    lbls = joined.select("la", "lb").distinct().withColumn(
-        "label", (F.dense_rank().over(w) - F.lit(1)).cast("long")
+    lbls = global_row_numbers(
+        joined.select("la", "lb").distinct(), ["la", "lb"], out_col="label"
     )
     return joined.join(lbls, ["la", "lb"]).select("id", "label")
+
+
+def nmi_distance(a: DataFrame, b: DataFrame) -> float:
+    """NMIDistance (community/NMIDistance.cpp:17-134): dissimilarity
+    NMID = 1 − 2·MI/(H(a)+H(b)) with log₂ entropies; 0 when both entropies
+    are 0. MI from the contingency table:
+        MI = Σ_{C,D} |C∩D|/n · log₂(|C∩D|·n / (|C|·|D|))
+    One contingency groupBy + two marginal groupBys — no per-pair space."""
+    cont = _contingency(a, b).persist()
+    n = cont.agg(F.sum("n")).collect()[0][0]
+    if not n:
+        cont.unpersist()
+        return 0.0
+    sa = cont.groupBy("la").agg(F.sum("n").alias("ca"))
+    sb = cont.groupBy("lb").agg(F.sum("n").alias("cb"))
+    ln2 = math.log(2.0)
+    mi = (
+        cont.join(sa, "la")
+        .join(sb, "lb")
+        .agg(
+            F.sum(
+                (F.col("n") / F.lit(float(n)))
+                * F.log(F.col("n") * F.lit(float(n)) / (F.col("ca") * F.col("cb")))
+                / F.lit(ln2)
+            )
+        )
+        .collect()[0][0]
+        or 0.0
+    )
+    def _entropy(marg, col):
+        return (
+            marg.agg(
+                F.sum(
+                    -(F.col(col) / F.lit(float(n)))
+                    * F.log(F.col(col) / F.lit(float(n)))
+                    / F.lit(ln2)
+                )
+            ).collect()[0][0]
+            or 0.0
+        )
+    h_sum = _entropy(sa, "ca") + _entropy(sb, "cb")
+    cont.unpersist()
+    if abs(h_sum) < 1e-15:
+        return 0.0
+    return 1.0 - (2.0 * mi) / h_sum
+
+
+def adjusted_rand_distance(a: DataFrame, b: DataFrame) -> float:
+    """AdjustedRandMeasure (community/AdjustedRandMeasure.cpp:5-54):
+    1 − (randIndex − expected)/(maxIndex − expected) over co-member pair
+    counts; 0 when maxIndex is 0 or equals expected."""
+    cont = _contingency(a, b).persist()
+    n = cont.agg(F.sum("n")).collect()[0][0] or 0
+    rand_idx = (
+        cont.agg(F.sum(F.floor(F.col("n") * (F.col("n") - 1) / 2))).collect()[0][0]
+        or 0
+    )
+    sum_a = (
+        cont.groupBy("la").agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.floor(F.col("n") * (F.col("n") - 1) / 2))).collect()[0][0]
+        or 0
+    )
+    sum_b = (
+        cont.groupBy("lb").agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.floor(F.col("n") * (F.col("n") - 1) / 2))).collect()[0][0]
+        or 0
+    )
+    cont.unpersist()
+    denominator = n * (n - 1) / 2
+    if not denominator:
+        return 0.0
+    max_index = 0.5 * float(sum_a + sum_b)
+    expected = float(sum_a * sum_b) / float(denominator)
+    if max_index == 0 or max_index == expected:
+        return 0.0
+    return 1.0 - (float(rand_idx) - expected) / (max_index - expected)
+
+
+def graph_structural_rand(graph: GraphDF, a: DataFrame, b: DataFrame) -> float:
+    """GraphStructuralRandMeasure (community/GraphStructuralRandMeasure.cpp):
+    1 − (e11 + e00)/m over EDGES (connected pairs only) — one edge-table
+    join against both partitions."""
+    la = a.select("id", F.col("label").alias("pa"))
+    lb = b.select("id", F.col("label").alias("pb"))
+    lab = la.join(lb, "id")
+    l_src = lab.select(
+        F.col("id").alias("src"), F.col("pa").alias("pa_s"), F.col("pb").alias("pb_s")
+    )
+    l_dst = lab.select(
+        F.col("id").alias("dst"), F.col("pa").alias("pa_d"), F.col("pb").alias("pb_d")
+    )
+    agg = (
+        graph.E.join(l_src, "src")
+        .join(l_dst, "dst")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(
+                F.when(
+                    (F.col("pa_s") == F.col("pa_d"))
+                    == (F.col("pb_s") == F.col("pb_d")),
+                    1,
+                ).otherwise(0)
+            ).alias("agree"),
+        )
+        .collect()[0]
+    )
+    m = agg["m"] or 0
+    if m == 0:
+        raise ValueError(
+            "graph-structural rand measure undefined for edgeless graphs"
+        )
+    return 1.0 - float(agg["agree"] or 0) / float(m)
 
 
 def hub_dominance(graph: GraphDF, partition: DataFrame) -> DataFrame:

@@ -150,3 +150,62 @@ def test_degree_assortativity(spark):
     want = float(np.corrcoef(xs, ys)[0, 1])
     got = degree_assortativity(g)
     assert math.isclose(got, want, abs_tol=1e-9)
+
+
+def test_nmi_ari_gsr_vs_python_oracle(spark):
+    """NMI / AdjustedRand / GraphStructuralRand vs direct formula evaluation
+    (NMIDistance.cpp:17, AdjustedRandMeasure.cpp:5,
+    GraphStructuralRandMeasure.cpp:12)."""
+    import math as _m
+    from collections import Counter
+
+    from networkit_spark.operators.community import (
+        adjusted_rand_distance,
+        graph_structural_rand,
+        nmi_distance,
+    )
+
+    n = KARATE_N
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=n)
+    pa_py = {i: i % 4 for i in range(n)}
+    pb_py = {i: (i * 7) % 3 for i in range(n)}
+    pa = spark.createDataFrame(list(pa_py.items()), "id long, label long")
+    pb = spark.createDataFrame(list(pb_py.items()), "id long, label long")
+
+    cont = Counter((pa_py[i], pb_py[i]) for i in range(n))
+    ca = Counter(pa_py.values())
+    cb = Counter(pb_py.values())
+    mi = sum(
+        (c / n) * _m.log2(c * n / (ca[a] * cb[b])) for (a, b), c in cont.items()
+    )
+    ha = -sum((c / n) * _m.log2(c / n) for c in ca.values())
+    hb = -sum((c / n) * _m.log2(c / n) for c in cb.values())
+    want_nmi = 1.0 - 2.0 * mi / (ha + hb)
+    assert _m.isclose(nmi_distance(pa, pb), want_nmi, abs_tol=1e-9)
+
+    ri = sum(c * (c - 1) // 2 for c in cont.values())
+    sa = sum(c * (c - 1) // 2 for c in ca.values())
+    sb = sum(c * (c - 1) // 2 for c in cb.values())
+    denom = n * (n - 1) / 2
+    maxi, expi = 0.5 * (sa + sb), sa * sb / denom
+    want_ari = 1.0 - (ri - expi) / (maxi - expi)
+    assert _m.isclose(adjusted_rand_distance(pa, pb), want_ari, abs_tol=1e-9)
+
+    agree = sum(
+        1
+        for (u, v) in KARATE_EDGES
+        if (pa_py[u] == pa_py[v]) == (pb_py[u] == pb_py[v])
+    )
+    want_gsr = 1.0 - agree / len(KARATE_EDGES)
+    assert _m.isclose(graph_structural_rand(g, pa, pb), want_gsr, abs_tol=1e-9)
+
+
+def test_nmi_identical_partitions_zero(spark):
+    from networkit_spark.operators.community import (
+        adjusted_rand_distance,
+        nmi_distance,
+    )
+
+    pa = spark.createDataFrame([(i, i % 5) for i in range(50)], "id long, label long")
+    assert abs(nmi_distance(pa, pa)) < 1e-12
+    assert abs(adjusted_rand_distance(pa, pa)) < 1e-12

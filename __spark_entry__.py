@@ -38,6 +38,8 @@ BFS_SOURCE = 1           # a customer id present at every sf
 BETW_DEPTH = 4           # ≥ supplier_co diameter ⇒ betweenness_fixed exact
 KCORE_ITERS = 6          # h-index fixpoint reached in 2 on supplier_co sf0.01
 CLOSE_DEPTH = 8          # ≥ supplier_co diameter for the closeness oracle
+KATZLP_L = 3             # KatzIndex bounded walk length
+KATZLP_DAMP = 0.005      # KatzIndex damping β
 SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 LSH_PLANES = 4
@@ -218,6 +220,47 @@ def q_common_neighbors_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = tg.supplier_co_graph(spark, sf_dir)
     return common_neighbors_index(g).orderBy("u", "v")
+
+
+def q_katz_linkpred_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import katz_link_index
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = katz_link_index(g, max_path_length=KATZLP_L, damping=KATZLP_DAMP)
+    return _round6(out, "score").orderBy("u", "v")
+
+
+def q_linkpred_extras_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U/V-degree, total-neighbors, neighbors-measure and same-community
+    indices over the two-hop candidate pairs — five §2.7 operators in one
+    oracle-checked row set."""
+    from networkit_spark.operators.linkprediction import (
+        neighbors_measure_index,
+        same_community_index,
+        total_neighbors_index,
+        two_hop_pairs,
+        u_degree_index,
+        v_degree_index,
+    )
+    from networkit_spark.operators.plp import plp_fixed
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    pairs = two_hop_pairs(g).select("u", "v")
+    ud = u_degree_index(g, pairs).withColumnRenamed("score", "u_deg")
+    vd = v_degree_index(g, pairs).withColumnRenamed("score", "v_deg")
+    tn = total_neighbors_index(g).withColumnRenamed("score", "total_nbrs")
+    nm = neighbors_measure_index(g).withColumnRenamed("score", "nbrs_measure")
+    sc = same_community_index(g, plp_fixed(g, iterations=PLP_SWEEPS), pairs)
+    sc = sc.withColumnRenamed("score", "same_comm")
+    return (
+        ud.join(vd, ["u", "v"])
+        .join(tn, ["u", "v"])
+        .join(nm, ["u", "v"])
+        .join(sc, ["u", "v"])
+        .orderBy("u", "v")
+    )
 
 
 def q_assortativity_customer_supplier(
@@ -527,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_linkpred_supplier": q_jaccard_linkpred_supplier,
         "adamic_adar_supplier": q_adamic_adar_supplier,
         "common_neighbors_supplier": q_common_neighbors_supplier,
+        "katz_linkpred_supplier": q_katz_linkpred_supplier,
+        "linkpred_extras_supplier": q_linkpred_extras_supplier,
         "assortativity_customer_supplier": q_assortativity_customer_supplier,
         "bfs_customer_supplier": q_bfs_customer_supplier,
         "triangle_edge_score_supplier": q_triangle_edge_score_supplier,
@@ -687,6 +732,74 @@ def _modularity_plp_sql(edges_cte: str, sweeps: int) -> str:
         " - (SELECT s FROM vsq) / POWER(2 * (SELECT total FROM tot), 2), 6)"
         " AS modularity"
     )
+    return "\n".join(parts)
+
+
+def _katz_linkpred_sql(edges_cte: str, max_l: int, damping: float) -> str:
+    """Bounded walk-count DP matching operators/linkprediction.py
+    katz_link_index (KatzIndex.cpp:34-58)."""
+    parts = [
+        f"WITH {edges_cte},",
+        "nb AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges"
+        " WHERE src != dst UNION ALL SELECT dst, src FROM edges"
+        " WHERE src != dst)),",
+        "w1 AS (SELECT src AS a, dst AS b, 1.0 AS w FROM nb),",
+    ]
+    for l in range(2, max_l + 1):
+        parts.append(
+            f"w{l} AS (SELECT w{l-1}.a, nb.dst AS b, SUM(w{l-1}.w) AS w"
+            f" FROM w{l-1} JOIN nb ON nb.src = w{l-1}.b GROUP BY w{l-1}.a, nb.dst),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT a, b, w * {damping ** l!r} AS s FROM w{l}"
+        for l in range(1, max_l + 1)
+    )
+    parts.append(f"katz AS ({union}),")
+    parts.append(
+        "tot AS (SELECT a AS u, b AS v, SUM(s) AS s FROM katz"
+        " WHERE a < b GROUP BY 1, 2),"
+    )
+    parts.append(
+        "hop2 AS (SELECT a.dst AS u, b.dst AS v FROM nb a"
+        " JOIN nb b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2)"
+    )
+    parts.append(
+        "SELECT h.u, h.v, ROUND(COALESCE(t.s, 0.0), 6) AS score"
+        " FROM hop2 h LEFT JOIN tot t ON h.u = t.u AND h.v = t.v"
+        " ORDER BY h.u, h.v"
+    )
+    return "\n".join(parts)
+
+
+def _linkpred_extras_sql(edges_cte: str, sweeps: int) -> str:
+    """U/V-degree, total-neighbors, neighbors-measure, same-community (PLP)
+    over two-hop pairs — matches q_linkpred_extras_supplier."""
+    parts = _plp_cte_parts(edges_cte, sweeps)
+    parts += [
+        "nb AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges"
+        " WHERE src != dst UNION ALL SELECT dst, src FROM edges"
+        " WHERE src != dst)),",
+        "deg2 AS (SELECT src AS id, COUNT(*) AS d FROM nb GROUP BY src),",
+        "hop2x AS (SELECT a.dst AS u, b.dst AS v, COUNT(*) AS common"
+        " FROM nb a JOIN nb b ON a.src = b.src AND a.dst < b.dst"
+        " GROUP BY 1, 2),",
+        "w3x AS (SELECT x.u, y.v, COUNT(*) AS w3 FROM"
+        " (SELECT dst AS u, src AS a FROM nb) x"
+        " JOIN nb e ON e.src = x.a"
+        " JOIN (SELECT src AS b, dst AS v FROM nb) y ON y.b = e.dst"
+        " WHERE x.u < y.v GROUP BY x.u, y.v)",
+        f"SELECT h.u, h.v,"
+        f" CAST(du.d AS DOUBLE) AS u_deg,"
+        f" CAST(dv.d AS DOUBLE) AS v_deg,"
+        f" CAST(du.d + dv.d - h.common AS DOUBLE) AS total_nbrs,"
+        f" CAST(h.common + COALESCE(w3x.w3, 0) AS DOUBLE) AS nbrs_measure,"
+        f" CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END AS same_comm"
+        f" FROM hop2x h"
+        f" JOIN deg2 du ON h.u = du.id JOIN deg2 dv ON h.v = dv.id"
+        f" LEFT JOIN w3x ON h.u = w3x.u AND h.v = w3x.v"
+        f" JOIN l{sweeps} la ON h.u = la.id JOIN l{sweeps} lb ON h.v = lb.id"
+        f" ORDER BY h.u, h.v",
+    ]
     return "\n".join(parts)
 
 
@@ -1198,6 +1311,12 @@ FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
         ),
         "partition_measures_cs": _partition_measures_sql(
             tg.CS_EDGES_CTE.strip(), PLP_SWEEPS
+        ),
+        "katz_linkpred_supplier": _katz_linkpred_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), KATZLP_L, KATZLP_DAMP
+        ),
+        "linkpred_extras_supplier": _linkpred_extras_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS
         ),
         "kcore_supplier_co": _kcore_hindex_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), KCORE_ITERS

@@ -115,6 +115,174 @@ def preferential_attachment_index(
     )
 
 
+def u_degree_index(graph: GraphDF, pairs: DataFrame | None = None) -> DataFrame:
+    """UDegreeIndex.hpp:27 — score(u,v) = deg(u)."""
+    if pairs is None:
+        pairs = two_hop_pairs(graph).select("u", "v")
+    deg = _neighbors(graph).groupBy(F.col("src").alias("u")).agg(
+        F.count("*").alias("d")
+    )
+    return pairs.join(deg, "u", "left").select(
+        "u", "v", F.coalesce("d", F.lit(0)).cast("double").alias("score")
+    )
+
+
+def v_degree_index(graph: GraphDF, pairs: DataFrame | None = None) -> DataFrame:
+    """VDegreeIndex.hpp:27 — score(u,v) = deg(v)."""
+    if pairs is None:
+        pairs = two_hop_pairs(graph).select("u", "v")
+    deg = _neighbors(graph).groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("d")
+    )
+    return pairs.join(deg, "v", "left").select(
+        "u", "v", F.coalesce("d", F.lit(0)).cast("double").alias("score")
+    )
+
+
+def total_neighbors_index(graph: GraphDF) -> DataFrame:
+    """TotalNeighborsIndex.hpp:29 — |N(u) ∪ N(v)| = deg(u)+deg(v)−common,
+    over the two-hop candidate pairs."""
+    pairs = two_hop_pairs(graph)
+    deg = _neighbors(graph).groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            (F.col("du") + F.col("dv") - F.col("common")).cast("double").alias("score"),
+        )
+    )
+
+
+def neighbors_measure_index(graph: GraphDF) -> DataFrame:
+    """NeighborsMeasureIndex.hpp:29-38 — #(a,b) ∈ N(u)×N(v) with a == b or
+    (a,b) ∈ E. On self-loop-free graphs that is walks₂(u,v) + walks₃(u,v):
+    the 2-walk count (common neighbors) plus the 3-walk count (edges between
+    the neighborhoods) — two inverted-index joins, never n²."""
+    nb = _neighbors(graph)
+    pairs = two_hop_pairs(graph)  # (u, v, common) = walks₂ for u < v
+    a = nb.select(F.col("dst").alias("u"), F.col("src").alias("a"))
+    b = nb.select(F.col("src").alias("b"), F.col("dst").alias("v"))
+    w3 = (
+        a.join(nb.select(F.col("src").alias("a"), F.col("dst").alias("b")), "a")
+        .join(b, "b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w3"))
+    )
+    return (
+        pairs.join(w3, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            (F.col("common") + F.coalesce("w3", F.lit(0))).cast("double").alias("score"),
+        )
+    )
+
+
+def same_community_index(
+    graph: GraphDF, partition: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """SameCommunityIndex.cpp:28 — 1.0 if the pair shares a community else
+    0.0 (partition = (id, label), e.g. PLP output)."""
+    if pairs is None:
+        pairs = two_hop_pairs(graph).select("u", "v")
+    pu = partition.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    pv = partition.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    return (
+        pairs.join(pu, "u", "left")
+        .join(pv, "v", "left")
+        .select(
+            "u",
+            "v",
+            F.when(
+                F.col("lu").isNotNull() & (F.col("lu") == F.col("lv")), 1.0
+            ).otherwise(0.0).alias("score"),
+        )
+    )
+
+
+def katz_link_index(
+    graph: GraphDF,
+    max_path_length: int = 3,
+    damping: float = 0.005,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """KatzIndex.cpp:34-58 — score(u,v) = Σ_{l=1..L} β^l · walks_l(u, v)
+    (the reference counts l-hop WALK multiplicities by repeated neighbor
+    expansion — `hits` accumulates duplicates — exactly the adjacency-power
+    recurrence computed here as a DataFrame DP:
+        W₁ = A;  W_l = W_{l-1} ⋈ A  (grouped sum)
+    Bounded L; symmetric on undirected graphs. Restricted at the end to the
+    candidate pairs (default: non-equal two-hop pairs, u < v)."""
+    adj = _neighbors(graph).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    adj = adj.repartition("a").sortWithinPartitions("a").persist()
+    adj.count()
+    walks = adj.select("a", "b", F.lit(1.0).alias("w"))  # W1
+    score = walks.select("a", "b", (F.col("w") * F.lit(damping)).alias("s"))
+    for l in range(2, max_path_length + 1):
+        step = adj.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        walks = (
+            walks.join(step, "b")
+            .groupBy("a", F.col("c").alias("nb"))
+            .agg(F.sum("w").alias("w"))
+            .withColumnRenamed("nb", "b")
+            .localCheckpoint(eager=True)
+        )
+        score = score.unionByName(
+            walks.select("a", "b", (F.col("w") * F.lit(float(damping**l))).alias("s"))
+        )
+    total = (
+        score.filter(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.sum("s").alias("score"))
+    )
+    if pairs is None:
+        pairs = two_hop_pairs(graph).select("u", "v")
+    out = pairs.join(total, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    adj.unpersist()
+    return out
+
+
+def precision_recall_points(scores: DataFrame, truth_pairs: DataFrame) -> DataFrame:
+    """PrecisionRecallMetric.cpp:12-34 — (recall, precision) per score
+    threshold, keeping the LAST precision for duplicate recall values; one
+    window pass like roc_points."""
+    from pyspark.sql import Window
+
+    labeled = scores.join(
+        truth_pairs.select("u", "v").withColumn("pos", F.lit(1)),
+        ["u", "v"],
+        "left",
+    ).select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
+    p = labeled.agg(F.sum("pos")).collect()[0][0] or 0
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    pts = labeled.select(
+        F.row_number().over(Window.orderBy(F.desc("score"))).alias("i"),
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum(1 - F.col("pos")).over(w)).alias("fp"),
+    ).select(
+        "i",
+        (F.col("tp") / F.lit(max(p, 1))).alias("recall"),
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+        ).otherwise(1.0).alias("precision"),
+    )
+    last = pts.groupBy("recall").agg(
+        F.max_by("precision", F.col("i")).alias("precision")
+    )
+    return last.orderBy("recall")
+
+
 def missing_links(graph: GraphDF, scores: DataFrame) -> DataFrame:
     """MissingLinksFinder (linkprediction/MissingLinksFinder.cpp): restrict
     scored pairs to NON-adjacent ones (distance exactly 2)."""

@@ -209,3 +209,72 @@ def test_nmi_identical_partitions_zero(spark):
     pa = spark.createDataFrame([(i, i % 5) for i in range(50)], "id long, label long")
     assert abs(nmi_distance(pa, pa)) < 1e-12
     assert abs(adjusted_rand_distance(pa, pa)) < 1e-12
+
+
+def test_new_linkpred_indices_vs_python(spark):
+    """KatzIndex (bounded walks), NeighborsMeasure, TotalNeighbors,
+    U/V-degree, SameCommunity vs direct computation on karate."""
+    import numpy as np
+
+    from networkit_spark.operators.linkprediction import (
+        katz_link_index,
+        neighbors_measure_index,
+        same_community_index,
+        total_neighbors_index,
+        two_hop_pairs,
+        u_degree_index,
+        v_degree_index,
+    )
+
+    n = KARATE_N
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=n)
+    A = np.zeros((n, n))
+    for u, v in KARATE_EDGES:
+        A[u][v] = A[v][u] = 1.0
+    deg = A.sum(axis=1)
+
+    # Katz: sum beta^l A^l over l=1..3
+    beta = 0.01
+    S = beta * A + beta**2 * (A @ A) + beta**3 * (A @ A @ A)
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in katz_link_index(g, max_path_length=3, damping=beta).collect()
+    }
+    for (u, v), s in got.items():
+        assert math.isclose(s, S[u][v], rel_tol=1e-9), (u, v)
+
+    # NeighborsMeasure = walks2 + walks3 (self-loop-free)
+    W2, W3 = A @ A, A @ A @ A
+    for r in neighbors_measure_index(g).collect():
+        u, v = r["u"], r["v"]
+        assert math.isclose(r["score"], W2[u][v] + W3[u][v], abs_tol=1e-9), (u, v)
+
+    # degree-family
+    for r in total_neighbors_index(g).collect():
+        u, v = r["u"], r["v"]
+        want = deg[u] + deg[v] - W2[u][v]  # common = walks2 for simple graphs
+        assert math.isclose(r["score"], want, abs_tol=1e-9), (u, v)
+    pairs = two_hop_pairs(g).select("u", "v")
+    for r in u_degree_index(g, pairs).collect():
+        assert r["score"] == deg[r["u"]]
+    for r in v_degree_index(g, pairs).collect():
+        assert r["score"] == deg[r["v"]]
+
+    # same-community against an arbitrary partition
+    part = spark.createDataFrame([(i, i % 2) for i in range(n)], "id long, label long")
+    for r in same_community_index(g, part, pairs).collect():
+        assert r["score"] == (1.0 if r["u"] % 2 == r["v"] % 2 else 0.0)
+
+
+def test_precision_recall_points(spark):
+    from networkit_spark.operators.linkprediction import precision_recall_points
+
+    scores = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8), (1, 2, 0.7), (1, 3, 0.6)],
+        "u long, v long, score double",
+    )
+    truth = spark.createDataFrame([(0, 1), (1, 2)], "u long, v long")
+    pts = {(round(r["recall"], 6), round(r["precision"], 6))
+           for r in precision_recall_points(scores, truth).collect()}
+    # thresholds: tp/fp cum = (1,0) (1,1) (2,1) (2,2)
+    assert pts == {(0.5, 0.5), (1.0, 0.5)}

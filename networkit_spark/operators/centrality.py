@@ -147,6 +147,40 @@ def katz_centrality_fixed(
     )
 
 
+def laplacian_centrality(graph: GraphDF, normalized: bool = False) -> DataFrame:
+    """LaplacianCentrality (centrality/LaplacianCentrality.cpp:15-44):
+    score(u) = wdeg(u)² + Σ_{v∈N(u)} w·(w + 2·wdeg(v)) — the Laplacian
+    energy drop when u is removed; normalized divides by the total energy
+    Σ_u wdeg(u)² + Σ_incidences w². Pure degree/weight aggregation: one
+    weighted-degree table + one neighbor join."""
+    wdeg = graph.weighted_degrees().select(
+        "id", F.col("wdeg").alias("wd")
+    )
+    inc = graph.E if graph.directed else graph.E_sym  # per-incidence view
+    nbr_term = (
+        inc.join(wdeg.select(F.col("id").alias("dst"), F.col("wd").alias("wd_v")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(
+                F.col("weight") * (F.col("weight") + 2.0 * F.col("wd_v"))
+            ).alias("nterm"),
+            F.sum(F.col("weight") * F.col("weight")).alias("w2"),
+        )
+    )
+    scored = wdeg.join(nbr_term, "id", "left").select(
+        "id",
+        (F.col("wd") * F.col("wd") + F.coalesce("nterm", F.lit(0.0))).alias("score"),
+        F.coalesce("w2", F.lit(0.0)).alias("w2"),
+        (F.col("wd") * F.col("wd")).alias("d2"),
+    )
+    if not normalized:
+        return scored.select("id", "score")
+    scored = scored.persist()
+    total = scored.agg(F.sum(F.col("d2") + F.col("w2"))).collect()[0][0] or 1.0
+    out = scored.select("id", (F.col("score") / F.lit(float(total))).alias("score"))
+    return out
+
+
 def ranking(scores: DataFrame, score_col: str = "score") -> DataFrame:
     """Centrality::ranking() (networkit/centrality.pyx:63-73): descending by
     score; deterministic id tie-break (reference uses unstable sort — we fix

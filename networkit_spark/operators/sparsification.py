@@ -158,3 +158,251 @@ def prefix_jaccard_score(graph: GraphDF, k: int = 10) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------- §2.7 fill-ins
+def _canon_edges(graph: GraphDF) -> DataFrame:
+    return graph.E.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+
+
+def _edge_triangles(graph: GraphDF) -> DataFrame:
+    """(src, dst, tri) per canonical edge — the `triangles` vector every
+    Simmelian-family score consumes (TriangleEdgeScore analog)."""
+    from networkit_spark.operators.triangles import triangle_edge_score
+
+    return triangle_edge_score(graph).select(
+        "src", "dst", F.col("score").alias("tri")
+    )
+
+
+def scan_structural_similarity_score(graph: GraphDF) -> DataFrame:
+    """SCANStructuralSimilarityScore.cpp:10-13:
+    score(u,v) = (tri(u,v)+1) / sqrt((deg(u)+1)·(deg(v)+1))."""
+    tri = _edge_triangles(graph)
+    deg = graph.E_sym.filter("src != dst").groupBy(
+        F.col("src").alias("id")
+    ).agg(F.count("*").alias("d"))
+    return (
+        tri.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("tri") + 1)
+                / F.sqrt((F.col("du") + 1.0) * (F.col("dv") + 1.0))
+            ).alias("score"),
+        )
+    )
+
+
+def chance_corrected_triangle_score(graph: GraphDF) -> DataFrame:
+    """ChanceCorrectedTriangleScore.cpp:22-28:
+    tri·(n−2)/((deg(u)−1)(deg(v)−1)); 1.0 for tri=0 with a degree-1
+    endpoint; else 0."""
+    n = graph.number_of_nodes()
+    tri = _edge_triangles(graph)
+    deg = graph.E_sym.filter("src != dst").groupBy(
+        F.col("src").alias("id")
+    ).agg(F.count("*").alias("d"))
+    return (
+        tri.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("tri") > 0,
+                F.col("tri") * F.lit(float(n - 2))
+                / ((F.col("du") - 1) * (F.col("dv") - 1)),
+            )
+            .when((F.col("du") == 1) | (F.col("dv") == 1), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+
+
+def local_similarity_score(graph: GraphDF) -> DataFrame:
+    """LocalSimilarityScore.cpp:18-66: per endpoint i, rank incident edges
+    by similarity tri/(deg(i)+deg(j)−tri) descending; sparsification
+    exponent e = 1 − log(rank)/log(deg(i)) (1.0 for deg 1); edge keeps the
+    max over both endpoints. Deterministic (sim desc, neighbor asc)
+    tie-break where the reference's std::sort order on ties is unspecified."""
+    tri = _edge_triangles(graph)
+    # per-direction view: (i, j, tri)
+    both = tri.unionByName(
+        tri.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "tri"
+        )
+    )
+    deg = graph.E_sym.filter("src != dst").groupBy(
+        F.col("src").alias("id")
+    ).agg(F.count("*").alias("d"))
+    nbd = (
+        both.join(deg.select(F.col("id").alias("src"), F.col("d").alias("di")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dj")), "dst")
+        .withColumn(
+            "sim", F.col("tri") / (F.col("di") + F.col("dj") - F.col("tri"))
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    ranked = nbd.withColumn("rank", F.row_number().over(w)).select(
+        "src",
+        "dst",
+        F.when(F.col("di") <= 1, F.lit(1.0))
+        .otherwise(
+            1.0 - F.log(F.col("rank").cast("double")) / F.log(F.col("di").cast("double"))
+        )
+        .alias("e"),
+    )
+    canon = ranked.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "e",
+    )
+    return canon.groupBy("src", "dst").agg(F.max("e").alias("score"))
+
+
+def multiscale_score(graph: GraphDF, attribute: DataFrame | None = None) -> DataFrame:
+    """MultiscaleScore.cpp:36-90: per endpoint u, normalize the incident
+    attribute values (default: edge weights) to p = a/Σ_u a; probability
+    1 − (1−p)^(deg(u)−1); edge keeps the max over both endpoints."""
+    if attribute is None:
+        attribute = graph.E.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("weight").alias("score"),
+        )
+    both = attribute.unionByName(
+        attribute.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+        )
+    )
+    w_sum = Window.partitionBy("src")
+    per_dir = (
+        both.withColumn("ssum", F.sum("score").over(w_sum))
+        .withColumn("k", F.count("*").over(w_sum))
+        .select(
+            "src",
+            "dst",
+            (
+                1.0
+                - F.pow(
+                    1.0 - F.col("score") / F.col("ssum"),
+                    F.col("k").cast("double") - 1.0,
+                )
+            ).alias("p"),
+        )
+    )
+    canon = per_dir.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "p",
+    )
+    return canon.groupBy("src", "dst").agg(F.max("p").alias("score"))
+
+
+def simmelian_overlap_score(graph: GraphDF, max_rank: int = 10) -> DataFrame:
+    """SimmelianOverlapScore (SimmelianScore.cpp:16-73): rank each node's
+    neighbors by per-edge triangle count (competition ranking, 0 = best,
+    ties share); score(u,v) = #common neighbors w with rank_u(w) ≤ maxRank
+    AND rank_v(w) ≤ maxRank."""
+    tri = _edge_triangles(graph)
+    both = tri.unionByName(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "tri")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("tri"))
+    ranked = both.withColumn("rank", F.rank().over(w) - F.lit(1)).filter(
+        F.col("rank") <= max_rank
+    ).select(F.col("src").alias("ego"), F.col("dst").alias("w2"))
+    a = ranked.select(F.col("ego").alias("u"), "w2")
+    b = ranked.select(F.col("ego").alias("v"), "w2")
+    overlap = (
+        a.join(b, "w2")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("ov"))
+    )
+    canon = _canon_edges(graph)
+    return canon.join(
+        overlap.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "ov"
+        ),
+        ["src", "dst"],
+        "left",
+    ).select(
+        "src", "dst", F.coalesce("ov", F.lit(0)).cast("double").alias("score")
+    )
+
+
+def forest_fire_score(
+    graph: GraphDF,
+    pf: float = 0.5,
+    n_fires: int = 16,
+    max_depth: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """ForestFireScore (sparsification/ForestFireScore.cpp:21-75) —
+    deterministic-seeded distributed variant: `n_fires` independent fires
+    start at seeded-hash roots; each frontier node burns each unvisited
+    neighbor edge independently with probability pf (per-(fire,edge) hash —
+    the Leskovec forest-fire sampling form of the same process; the
+    reference's RNG-driven geometric spread is nondeterministic across runs
+    even in C++). score(e) = #fires that burnt e."""
+    e = graph.E_sym.filter("src != dst").select("src", "dst")
+    e = e.repartition("src").sortWithinPartitions("src").persist()
+    e.count()
+    roots = graph.random_nodes(n_fires, seed).select("id")
+    fires = roots.select(
+        F.col("id"), F.row_number().over(Window.orderBy("id")).alias("fire")
+    )
+    frontier = fires.select("fire", "id").localCheckpoint(eager=True)
+    visited = frontier
+    burnt = None
+    thresh = int(pf * (1 << 40))
+    for _ in range(max_depth):
+        if frontier.count() == 0:
+            break
+        cand = e.join(
+            F.broadcast(frontier.withColumnRenamed("id", "src")), "src"
+        ).select("fire", "src", "dst")
+        cand = cand.join(
+            visited.withColumnRenamed("id", "dst"), ["fire", "dst"], "left_anti"
+        )
+        burned = cand.filter(
+            F.pmod(
+                F.abs(F.xxhash64("fire", "src", "dst", F.lit(seed))),
+                F.lit(1 << 40),
+            )
+            < F.lit(thresh)
+        ).localCheckpoint(eager=True)
+        edges_burned = burned.select(
+            "fire",
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).distinct()
+        burnt = (
+            edges_burned
+            if burnt is None
+            else burnt.unionByName(edges_burned).distinct()
+        )
+        burnt = burnt.localCheckpoint(eager=True)
+        nxt = burned.select("fire", F.col("dst").alias("id")).distinct()
+        nxt = nxt.join(visited, ["fire", "id"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    canon = _canon_edges(graph)
+    if burnt is None:
+        return canon.withColumn("score", F.lit(0.0))
+    counts = burnt.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("score")
+    )
+    return canon.join(counts, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

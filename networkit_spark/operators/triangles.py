@@ -145,3 +145,67 @@ def triangle_edge_score(graph: GraphDF) -> DataFrame:
         e.join(counts, ["src", "dst"], "left")
         .select("src", "dst", F.coalesce("score", F.lit(0)).cast("long").alias("score"))
     )
+
+
+def global_clustering_approx(
+    graph: GraphDF, k: int = 1000, seed: int = 42
+) -> float:
+    """GlobalClusteringCoefficient::approximate
+    (global/GlobalClusteringCoefficient.cpp:39-67) — wedge sampling: pick k
+    wedge centers ∝ per-node wedge count d(d−1)/2, two distinct hash-chosen
+    neighbors each, return the closed fraction.
+
+    Fully distributed + deterministic: the inverse-CDF table is a two-stage
+    prefix sum (plans/ranking.py, no single-partition window), the k sample
+    rows are broadcast into a range join, neighbor picks are seeded-hash
+    indices into per-node neighbor rankings (the reference uses its RNG —
+    nondeterministic across runs; the estimator is identical)."""
+    from pyspark.sql import Window
+
+    from networkit_spark.plans.ranking import prefix_sums
+
+    spark = graph.V.sparkSession
+    nb = graph.E_sym.filter("src != dst").select("src", "dst").distinct()
+    deg = nb.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    wcnt = deg.select(
+        "id", "d", (F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("wc")
+    ).filter(F.col("wc") > 0)
+    table = prefix_sums(wcnt, "id", "wc").persist()
+    total = table.agg(F.max("hi")).collect()[0][0]
+    if not total:
+        return 0.0
+    # seeded LCG per sample slot (cross-engine-reproducible discipline)
+    samples = spark.range(k).select(
+        F.col("id").alias("slot"),
+        F.pmod(
+            (F.col("id") * F.lit(1103515245) + F.lit(12345 + seed)) % F.lit(2**31),
+            F.lit(int(total)),
+        ).alias("r"),
+    )
+    centers = F.broadcast(samples).join(
+        table, (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi"))
+    ).select("slot", F.col("id").alias("c"), "d")
+    # index neighbors 0..d-1 per node
+    widx = Window.partitionBy("src").orderBy("dst")
+    nbi = nb.withColumn("idx", F.row_number().over(widx) - F.lit(1))
+    h1 = F.pmod(F.abs(F.xxhash64("slot", F.lit(seed), F.lit(1))), F.col("d"))
+    h2 = F.pmod(F.abs(F.xxhash64("slot", F.lit(seed), F.lit(2))), F.col("d") - 1)
+    picked = centers.select(
+        "slot",
+        "c",
+        h1.alias("i1"),
+        (h2 + (h2 >= h1).cast("long")).alias("i2"),
+    )
+    n1 = nbi.select(F.col("src").alias("c"), F.col("idx").alias("i1"), F.col("dst").alias("u"))
+    n2 = nbi.select(F.col("src").alias("c"), F.col("idx").alias("i2"), F.col("dst").alias("w2"))
+    wedges = picked.join(n1, ["c", "i1"]).join(n2, ["c", "i2"])
+    canon = nb.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    closed = wedges.join(
+        canon,
+        (F.least("u", "w2") == F.col("a")) & (F.greatest("u", "w2") == F.col("b")),
+        "left_semi",
+    ).count()
+    table.unpersist()
+    return closed / float(k)

@@ -65,6 +65,55 @@ def global_row_numbers(
     return out
 
 
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append exclusive/inclusive running sums of `value_col` in `order_col`
+    order ([lo, hi) intervals — e.g. inverse-CDF sampling tables), with the
+    same two-stage shape as global_row_numbers: per-range-partition local
+    cumsum + broadcast partition offsets. No single-partition window."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_run", F.sum(value_col).over(w)).persist()
+    totals = (
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets = []
+    acc = 0
+    for r in totals:
+        offsets.append((r["_pid"], acc))
+        acc += r["_tot"]
+    if not offsets:
+        return (
+            df.withColumn(lo_col, F.lit(0).cast("long"))
+            .withColumn(hi_col, F.lit(0).cast("long"))
+            .limit(0)
+        )
+    off_df = F.broadcast(spark.createDataFrame(offsets, "_pid int, _off long"))
+    return (
+        local.join(off_df, "_pid")
+        .withColumn(hi_col, (F.col("_off") + F.col("_run")).cast("long"))
+        .withColumn(lo_col, (F.col(hi_col) - F.col(value_col)).cast("long"))
+        .drop("_pid", "_run", "_off")
+    )
+
+
 def dense_rank_of_distinct(
     df: DataFrame,
     value_col: str,

@@ -194,3 +194,166 @@ def dorogovtsev_mendes_like(
     )
     v = spark.range(n).select(F.col("id").cast("long"))
     return GraphDF.from_edges(e.unionByName(e0), directed=False, vertices=v)
+
+
+def chung_lu(
+    spark: SparkSession, weights: list[float], seed: int = 42
+) -> GraphDF:
+    """ChungLuGenerator (generators/ChungLuGenerator.hpp:32) — expected-
+    degree random graph: pair (u,v) kept with p = min(1, w_u·w_v/S),
+    S = Σw. Seeded per-pair Bernoulli over the O(n²) candidate space —
+    fixture-scale like erdos_renyi (the reference is likewise an in-memory
+    generator); rmat() is the at-scale skewed source."""
+    n = len(weights)
+    s = float(sum(weights)) or 1.0
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(weights)], "id long, w double"
+        )
+    )
+    pairs = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") / n).cast("long").alias("src"),
+            F.pmod(F.col("id"), F.lit(n)).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+    )
+    pw = pairs.join(
+        wdf.select(F.col("id").alias("src"), F.col("w").alias("wu")), "src"
+    ).join(wdf.select(F.col("id").alias("dst"), F.col("w").alias("wv")), "dst")
+    u01 = (
+        F.pmod(_u(F.xxhash64("src", "dst", F.lit(seed))), F.lit(1 << 40))
+        / F.lit(float(1 << 40))
+    )
+    e = pw.filter(
+        u01 < F.least(F.lit(1.0), F.col("wu") * F.col("wv") / F.lit(s))
+    ).select("src", "dst", F.lit(1.0).alias("weight"))
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def havel_hakimi(spark: SparkSession, degree_sequence: list[int]) -> GraphDF:
+    """HavelHakimiGenerator (generators/HavelHakimiGenerator.hpp:26) —
+    realize a graphical degree sequence greedily: repeatedly connect the
+    highest-remaining-degree node to the next-highest ones. The greedy loop
+    is inherently sequential over n (the reference's is too); this is the
+    FIXTURE generator used to mirror reference test inputs
+    (ConnectedComponentsGTest.cpp:15-25), run driver-side at fixture n and
+    parallelized as a DataFrame result. Raises if the sequence is not
+    graphical (the reference emits a warning and realizes a best effort;
+    we are strict)."""
+    remaining = sorted(
+        ((int(d), i) for i, d in enumerate(degree_sequence)), reverse=True
+    )
+    edges = []
+    while remaining:
+        remaining.sort(reverse=True)
+        d, u = remaining[0]
+        if d == 0:
+            break
+        if d > len(remaining) - 1:
+            raise ValueError("degree sequence is not graphical")
+        rest = remaining[1:]
+        for j in range(d):
+            dv, v = rest[j]
+            if dv == 0:
+                raise ValueError("degree sequence is not graphical")
+            edges.append((min(u, v), max(u, v)))
+            rest[j] = (dv - 1, v)
+        remaining = rest
+    n = len(degree_sequence)
+    v = spark.range(n).select(F.col("id").cast("long"))
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges] or [],
+        "src long, dst long, weight double",
+    )
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def barabasi_albert(
+    spark: SparkSession, k: int, n_max: int, seed: int = 42, max_jump: int = 64
+) -> GraphDF:
+    """BarabasiAlbertGenerator (generators/BarabasiAlbertGenerator.hpp:20) —
+    preferential attachment, PARALLELIZED with the endpoint-slot trick:
+    node t's i-th target is a uniformly random ENDPOINT SLOT among the
+    2·E(t) endpoints of earlier edges (slot mass ∝ degree — exactly the
+    BA kernel). A slot either resolves immediately (a concrete node id) or
+    references an earlier (t', i') choice; reference chains resolve by
+    POINTER JUMPING over a DataFrame — O(log chain) supersteps, no
+    sequential loop over n. Seeded-hash choices ⇒ deterministic at any
+    parallelism (the reference's RNG stream is inherently sequential).
+    Start: a k-cycle over nodes 0..k−1. Multi-edges collapse (dedup), as in
+    the reference's simple-graph output."""
+    if n_max <= k:
+        raise ValueError("n_max must exceed k")
+    spark_ = spark
+    # choices for t in [k, n_max), i in [0, k)
+    base = spark_.range(k, n_max).select(F.col("id").alias("t"))
+    choices = base.crossJoin(
+        F.broadcast(spark_.range(k).select(F.col("id").alias("i")))
+    )
+    # E(t) = k + (t-k)*k edges exist before node t attaches
+    slot_cnt = (F.lit(2) * (F.lit(k) + (F.col("t") - k) * k)).cast("long")
+    s = F.pmod(_u(F.xxhash64("t", "i", F.lit(seed))), slot_cnt)
+    eidx = (s / 2).cast("long")
+    side = F.pmod(s, F.lit(2))
+    # edge eidx: cycle edge if < k, else created by (t_e, i_e)
+    t_e = (F.lit(k) + ((eidx - k) / k).cast("long"))
+    i_e = F.pmod(eidx - k, F.lit(k))
+    st = choices.select(
+        "t",
+        "i",
+        F.when(eidx < k, F.when(side == 0, eidx).otherwise(
+            F.pmod(eidx + 1, F.lit(k))))          # cycle endpoints known
+        .when(side == 0, t_e)                      # new-node endpoint known
+        .otherwise(F.lit(None).cast("long"))
+        .alias("value"),
+        F.when((eidx >= k) & (side == 1), t_e).alias("ref_t"),
+        F.when((eidx >= k) & (side == 1), i_e).alias("ref_i"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_jump):
+        unresolved = st.filter(F.col("value").isNull()).count()
+        if unresolved == 0:
+            break
+        tgt = st.select(
+            F.col("t").alias("r_t"),
+            F.col("i").alias("r_i"),
+            F.col("value").alias("r_value"),
+            F.col("ref_t").alias("r_ref_t"),
+            F.col("ref_i").alias("r_ref_i"),
+        )
+        st = (
+            st.join(
+                tgt,
+                (st.ref_t == tgt.r_t) & (st.ref_i == tgt.r_i),
+                "left",
+            )
+            .select(
+                "t",
+                "i",
+                F.coalesce("value", "r_value").alias("value"),
+                F.when(F.col("value").isNull() & F.col("r_value").isNull(),
+                       F.col("r_ref_t")).alias("ref_t"),
+                F.when(F.col("value").isNull() & F.col("r_value").isNull(),
+                       F.col("r_ref_i")).alias("ref_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    cycle = spark_.range(k).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, F.lit(k)).cast("long").alias("dst"),
+    )
+    new_edges = st.select(F.col("t").alias("src"), F.col("value").alias("dst"))
+    e = (
+        cycle.unionByName(new_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    v = spark_.range(n_max).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)

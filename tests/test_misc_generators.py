@@ -139,3 +139,49 @@ def test_clustered_random_ground_truth(spark):
 
     q = modularity(g, truth)
     assert q > 0.3  # planted structure is recoverable
+
+
+def test_havel_hakimi_realizes_sequence(spark):
+    from networkit_spark.sources.generators import havel_hakimi
+
+    seq = [3, 3, 3, 3, 2, 2, 2, 2]  # graphical
+    g = havel_hakimi(spark, seq)
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert sorted(deg.values(), reverse=True) == sorted(seq, reverse=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        havel_hakimi(spark, [5, 1, 1])  # not graphical
+
+
+def test_chung_lu_expected_degrees(spark):
+    from networkit_spark.sources.generators import chung_lu
+
+    weights = [20.0] * 10 + [4.0] * 90
+    g = chung_lu(spark, weights, seed=5)
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    hub_avg = sum(deg[i] for i in range(10)) / 10
+    leaf_avg = sum(deg[i] for i in range(10, 100)) / 90
+    assert hub_avg > 2.5 * leaf_avg  # heavy nodes concentrate
+    g2 = chung_lu(spark, weights, seed=5)
+    assert g2.number_of_edges() == g.number_of_edges()  # deterministic
+
+
+def test_barabasi_albert_parallel(spark):
+    from networkit_spark.sources.generators import barabasi_albert
+
+    k, n = 3, 120
+    g = barabasi_albert(spark, k, n, seed=11)
+    assert g.number_of_nodes() == n
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    # every late node attaches: min degree >= 1; preferential attachment
+    # concentrates on early nodes
+    assert all(deg[t] >= 1 for t in range(k, n))
+    early_max = max(deg[i] for i in range(10))
+    late_max = max(deg[i] for i in range(n - 10, n))
+    assert early_max > late_max
+    # deterministic across invocations
+    g2 = barabasi_albert(spark, k, n, seed=11)
+    e1 = sorted((r["src"], r["dst"]) for r in g.E.collect())
+    e2 = sorted((r["src"], r["dst"]) for r in g2.E.collect())
+    assert e1 == e2

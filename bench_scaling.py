@@ -80,11 +80,18 @@ g0 = rmat(spark, scale, ef, dedup=True, directed=False)
 e = g0.E.localCheckpoint(eager=True); v = g0.V.localCheckpoint(eager=True)
 g = GraphDF(v, e, directed=False, weighted=True)
 m = g.E.count()
-t0 = time.time()
-nt = triangle_count_total(g)
-dt = time.time() - t0
+# 5 trials, first two excluded, median of the rest (same methodology as
+# pagerank: first supersteps pay codegen + broadcast build + heap growth)
+secs = []
+nt = 0
+for _ in range(5):
+    t0 = time.time()
+    nt = triangle_count_total(g)
+    secs.append(time.time() - t0)
+dt = statistics.median(secs[2:])
 print(json.dumps({"job": "triangles", "cores": cores, "edges": m,
                   "triangles": nt, "median_sec": round(dt, 2),
+                  "all_sec": [round(s, 2) for s in secs],
                   "throughput": round(m / dt, 1), "unit": "edges/s"}))
 spark.stop()
 """

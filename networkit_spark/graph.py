@@ -210,10 +210,40 @@ class GraphDF:
             directed=self.directed, weighted=self.weighted,
         )
 
-    def remove_multi_edges(self) -> "GraphDF":
-        """Graph.cpp:809 → keep first by (src,dst); min weight for determinism."""
-        e = self.E.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    def remove_multi_edges(self, mode: str = "min") -> "GraphDF":
+        """Graph.cpp:809; modes mirror KONECTGraphReader's
+        MultipleEdgesHandling (KONECTGraphReader.hpp:22): 'min' = keep
+        minimum weight (deterministic 'keep first'), 'sum' = SUM_WEIGHTS_UP,
+        'discard' = DISCARD_EDGES (drop every duplicated pair entirely)."""
+        if mode == "discard":
+            counted = self.E.groupBy("src", "dst").agg(
+                F.count("*").alias("c"), F.min("weight").alias("weight")
+            )
+            e = counted.filter("c = 1").select("src", "dst", "weight")
+        else:
+            agg = F.sum("weight") if mode == "sum" else F.min("weight")
+            e = self.E.groupBy("src", "dst").agg(agg.alias("weight"))
         return GraphDF(self.V, e, directed=self.directed, weighted=self.weighted)
+
+    def remove_all_edges(self) -> "GraphDF":
+        """Graph::removeAllEdges (Graph.cpp:788 analog): empty edge set,
+        vertex set kept."""
+        return GraphDF(
+            self.V, self.E.limit(0), directed=self.directed, weighted=self.weighted
+        )
+
+    def remove_edges_from_isolated_set(self, nodes: DataFrame) -> "GraphDF":
+        """GraphTools::removeEdgesFromIsolatedSet (graphtools.pyx:112):
+        drop every edge with BOTH endpoints in `nodes` (makes the set
+        internally isolated) — two anti-join-able semi joins."""
+        s = nodes.select("id").distinct()
+        both_in = self.E.join(
+            s.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(s.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        kept = self.E.join(
+            both_in.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        return GraphDF(self.V, kept, directed=self.directed, weighted=self.weighted)
 
     def to_undirected(self) -> "GraphDF":
         """GraphTools::toUndirected (GraphTools.cpp:278): forget direction;

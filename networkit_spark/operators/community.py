@@ -82,10 +82,9 @@ def coarsen_by_partition(
     """ParallelPartitionCoarsening.cpp:23-52: supernode per label (compacted
     to dense ids in sorted-label order); edge weights summed; intra-community
     edges become self-loops. Returns (coarse_graph, mapping(id, super_id))."""
-    w = Window.orderBy("label")
-    lbls = partition.select("label").distinct().withColumn(
-        "super_id", (F.dense_rank().over(w) - F.lit(1)).cast("long")
-    )
+    from networkit_spark.plans.ranking import dense_rank_of_distinct
+
+    lbls = dense_rank_of_distinct(partition, "label", "super_id")
     mapping = partition.join(lbls, "label").select("id", "super_id")
     m_src = mapping.select(F.col("id").alias("src"), F.col("super_id").alias("s_src"))
     m_dst = mapping.select(F.col("id").alias("dst"), F.col("super_id").alias("s_dst"))
@@ -341,4 +340,141 @@ def intrapartition_density(graph: GraphDF, partition: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("density"),
+    )
+
+
+def cover_f1_similarity(cover: DataFrame, reference: DataFrame) -> DataFrame:
+    """CoverF1Similarity (community/CoverF1Similarity.cpp): per cluster c of
+    `cover` (overlapping: rows (id, subset)), the best F1 against any
+    reference cluster: F1 = 2·ol/(|c|+|s|) maximized over s. One membership
+    join + two size joins — contingency-shaped, never per-pair."""
+    c = cover.select("id", F.col("subset").alias("c"))
+    r = reference.select("id", F.col("subset").alias("s"))
+    c_sz = c.groupBy("c").agg(F.count("*").alias("c_sz"))
+    r_sz = r.groupBy("s").agg(F.count("*").alias("s_sz"))
+    ol = c.join(r, "id").groupBy("c", "s").agg(F.count("*").alias("ol"))
+    f1 = (
+        ol.join(c_sz, "c")
+        .join(r_sz, "s")
+        .select(
+            "c",
+            (2.0 * F.col("ol") / (F.col("c_sz") + F.col("s_sz"))).alias("f1"),
+        )
+        .groupBy("c")
+        .agg(F.max("f1").alias("f1"))
+    )
+    return c_sz.join(f1, "c", "left").select(
+        F.col("c").alias("subset"), F.coalesce("f1", F.lit(0.0)).alias("f1")
+    )
+
+
+def _cluster_cut_volume(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """(label, cut, volume, size) per cluster — IsolatedInterpartition*
+    accumulation (IsolatedInterpartitionConductance.cpp:15-31): every edge
+    adds w to both endpoint clusters' volume; inter-cluster edges add w to
+    both clusters' cut."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    je = graph.E.join(p_src, "src").join(p_dst, "dst")
+    per = je.select(F.col("l_src").alias("label"), "l_dst", "weight").unionByName(
+        je.select(F.col("l_dst").alias("label"), F.col("l_src").alias("l_dst"), "weight")
+    )
+    agg = per.groupBy("label").agg(
+        F.sum("weight").alias("volume"),
+        F.sum(
+            F.when(F.col("label") != F.col("l_dst"), F.col("weight")).otherwise(0.0)
+        ).alias("cut"),
+    )
+    sizes = partition.groupBy("label").agg(F.count("*").alias("size"))
+    return sizes.join(agg, "label", "left").select(
+        "label",
+        F.coalesce("cut", F.lit(0.0)).alias("cut"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        "size",
+    )
+
+
+def isolated_interpartition_conductance(
+    graph: GraphDF, partition: DataFrame
+) -> DataFrame:
+    """(label, conductance): cut(C) / min(vol(C), totalVol − vol(C))
+    (IsolatedInterpartitionConductance.cpp:36-52)."""
+    cv = _cluster_cut_volume(graph, partition).persist()
+    total = cv.agg(F.sum("volume")).collect()[0][0] or 0.0
+    return cv.select(
+        "label",
+        F.when(
+            F.least(F.col("volume"), F.lit(total) - F.col("volume")) > 0,
+            F.col("cut") / F.least(F.col("volume"), F.lit(total) - F.col("volume")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conductance"),
+    )
+
+
+def isolated_interpartition_expansion(
+    graph: GraphDF, partition: DataFrame
+) -> DataFrame:
+    """(label, expansion): cut(C) / min(|C|, n − |C|)
+    (IsolatedInterpartitionExpansion.cpp:40)."""
+    cv = _cluster_cut_volume(graph, partition)
+    n = partition.count()
+    return cv.select(
+        "label",
+        F.when(
+            F.least(F.col("size"), F.lit(n) - F.col("size")) > 0,
+            F.col("cut") / F.least(F.col("size"), F.lit(n) - F.col("size")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("expansion"),
+    )
+
+
+def partition_fragmentation(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """PartitionFragmentation.cpp:6-43: per cluster C, 1 − (size of C's
+    largest connected fragment)/|C|, fragments = intersection of the
+    partition with the graph's connected components."""
+    from networkit_spark.operators.components import connected_components
+
+    cc = connected_components(
+        graph if not graph.directed else GraphDF(
+            graph.V, graph.E, directed=False, weighted=graph.weighted
+        )
+    ).select("id", F.col("component").alias("ccl"))
+    joined = partition.join(cc, "id")
+    frag_sz = joined.groupBy("label", "ccl").agg(F.count("*").alias("fsz"))
+    biggest = frag_sz.groupBy("label").agg(F.max("fsz").alias("big"))
+    sizes = partition.groupBy("label").agg(F.count("*").alias("sz"))
+    return sizes.join(biggest, "label").select(
+        "label", (1.0 - F.col("big") / F.col("sz")).alias("fragmentation")
+    )
+
+
+def stable_partition_nodes(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """StablePartitionNodes.cpp:7-40: node u is STABLE iff the summed edge
+    weight to its own label is positive and strictly exceeds the weight to
+    every other label (isolated nodes are stable). Returns (id, stable)."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("own"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("nbl"))
+    lw = (
+        graph.E_sym.join(p_src, "src")
+        .join(p_dst, "dst")
+        .groupBy(F.col("src").alias("id"), "own", F.col("nbl"))
+        .agg(F.sum("weight").alias("w"))
+    )
+    verdict = lw.groupBy("id").agg(
+        F.max(F.when(F.col("nbl") == F.col("own"), F.col("w"))).alias("own_w"),
+        F.max(F.when(F.col("nbl") != F.col("own"), F.col("w"))).alias("other_w"),
+    ).select(
+        "id",
+        (
+            (F.coalesce("own_w", F.lit(0.0)) > 0)
+            & (
+                F.coalesce("own_w", F.lit(0.0))
+                > F.coalesce("other_w", F.lit(-1.0))
+            )
+        ).alias("stable"),
+    )
+    return partition.select("id").join(verdict, "id", "left").select(
+        "id", F.coalesce("stable", F.lit(True)).alias("stable")
     )

@@ -319,3 +319,29 @@ def roc_points(scores: DataFrame, truth_pairs: DataFrame) -> DataFrame:
         (F.sum("pos").over(w) / F.lit(max(p, 1))).alias("tpr"),
         (F.sum(1 - F.col("pos")).over(w) / F.lit(max(n, 1))).alias("fpr"),
     )
+
+
+def random_link_sampler(graph: GraphDF, percent_kept: float, seed: int = 42) -> GraphDF:
+    """RandomLinkSampler (linkprediction/RandomLinkSampler.cpp): training
+    subgraph keeping `percent_kept` of the edges — seeded-hash order, so
+    the sample is reproducible and nested (80% sample ⊇ 60% sample)."""
+    m = graph.E.count()
+    keep = int(round(m * percent_kept / 100.0)) if percent_kept > 1 else int(
+        round(m * percent_kept)
+    )
+    kept = (
+        graph.E.orderBy(F.xxhash64("src", "dst", F.lit(seed)), "src", "dst")
+        .limit(keep)
+    )
+    return type(graph)(graph.V, kept, directed=graph.directed, weighted=graph.weighted)
+
+
+def link_thresholder(
+    scores: DataFrame, lower: float, upper: float | None = None
+) -> DataFrame:
+    """LinkThresholder (linkprediction/LinkThresholder.cpp): predicted links
+    with lower ≤ score (≤ upper)."""
+    out = scores.filter(F.col("score") >= lower)
+    if upper is not None:
+        out = out.filter(F.col("score") <= upper)
+    return out.select("u", "v")

@@ -174,3 +174,52 @@ def compact_partition(labels: DataFrame) -> DataFrame:
     return labels.join(renum, "label").select(
         "id", F.col("new_label").alias("label")
     )
+
+
+def lp_degree_ordered(
+    graph: GraphDF, sweeps: int = 4, n_buckets: int = 4
+) -> DataFrame:
+    """LPDegreeOrdered (community/LPDegreeOrdered.cpp): label propagation
+    visiting nodes in INCREASING degree order. The reference's ordered
+    visit is asynchronous (and thread-nondeterministic); the deterministic
+    distributed analog is degree-STRATIFIED waves: each sweep processes
+    `n_buckets` degree quantiles low→high, and bucket k reads the labels
+    already updated by buckets < k in the same sweep — same low-degree-
+    first information flow, exactly reproducible. Returns (id, label)."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    e = graph.E_sym.select("src", "dst", "weight")
+    e = e.repartition("src").sortWithinPartitions("src").persist()
+    e.count()
+    n = graph.number_of_nodes()
+    deg = graph.degrees()
+    ranked = global_row_numbers(
+        deg.select(F.col("degree").alias("d"), "id"), ["d", "id"], out_col="rk"
+    ).select(
+        "id", (F.col("rk") * n_buckets / F.lit(max(n, 1))).cast("int").alias("bucket")
+    ).localCheckpoint(eager=True)
+
+    labels = graph.V.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(sweeps):
+        for b in range(n_buckets):
+            active = ranked.filter(F.col("bucket") == b).select("id")
+            cand = e.join(labels, e.src == labels.id).select(
+                "dst", "label", "weight"
+            )
+            scores = cand.groupBy("dst", "label").agg(F.sum("weight").alias("w"))
+            w = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+            winner = (
+                scores.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+                .join(active, "id", "left_semi")
+            )
+            labels = (
+                labels.join(winner, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+    e.unpersist()
+    return labels

@@ -1,0 +1,181 @@
+"""Null-model randomization (SURVEY §2.8; reference:
+networkit/cpp/randomization/GlobalCurveball.cpp, Curveball.cpp,
+DegreePreservingShuffle.cpp).
+
+Degree-preserving graph randomization for significance testing. Both
+operators keep every node's degree EXACTLY while shuffling structure; both
+are seeded-hash deterministic here (the reference draws from its global
+RNG — outputs differ run to run even in C++; the null-model guarantees are
+what tests pin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+
+
+def degree_preserving_shuffle(graph: GraphDF, seed: int = 42) -> GraphDF:
+    """DegreePreservingShuffle.cpp: permute node IDENTITIES within equal-
+    degree classes — the graph is isomorphic, per-node degrees unchanged,
+    labels decorrelated. Permutation: within each degree class, the i-th
+    node by id takes the id of the i-th node by seeded hash."""
+    deg = graph.degrees()
+    by_id = Window.partitionBy("degree").orderBy("id")
+    by_hash = Window.partitionBy("degree").orderBy(
+        F.xxhash64("id", F.lit(seed)), "id"
+    )
+    pos = deg.withColumn("p", F.row_number().over(by_id)).select(
+        "degree", "p", F.col("id").alias("old_id")
+    )
+    tgt = deg.withColumn("p", F.row_number().over(by_hash)).select(
+        "degree", "p", F.col("id").alias("new_id")
+    )
+    mapping = pos.join(tgt, ["degree", "p"]).select("old_id", "new_id")
+    src_m = mapping.select(F.col("old_id").alias("src"), F.col("new_id").alias("ns"))
+    dst_m = mapping.select(F.col("old_id").alias("dst"), F.col("new_id").alias("nd"))
+    e = (
+        graph.E.join(src_m, "src")
+        .join(dst_m, "dst")
+        .select(
+            (F.least("ns", "nd") if not graph.directed else F.col("ns")).alias("src"),
+            (F.greatest("ns", "nd") if not graph.directed else F.col("nd")).alias("dst"),
+            "weight",
+        )
+    )
+    return GraphDF(graph.V, e, directed=graph.directed, weighted=graph.weighted)
+
+
+def global_curveball(
+    graph: GraphDF, rounds: int = 8, seed: int = 42
+) -> GraphDF:
+    """GlobalCurveball.cpp (Carstens et al. global trade sequences): each
+    round (1) orients every edge to a unique OWNER endpoint, (2) pairs up
+    all nodes with a seeded random perfect matching, and (3) every pair
+    (u,v) trades: pooled targets A = own(u) \\ (N(v) ∪ {v}) and
+    B = own(v) \\ (N(u) ∪ {u}) are hash-shuffled and the first |A| go back
+    to u, the rest to v. Ownership is unique and each node is in one pair,
+    so no edge is claimed twice; pool targets keep exactly one incident
+    traded edge ⇒ EVERY node's degree is preserved exactly. Undirected,
+    self-loop-free graphs (the reference's precondition).
+
+    Spark shape per round: one orientation projection, one |V| window for
+    the matching, two anti-joins for the exclusions, one partitioned window
+    for the shuffle — all |E|-linear, rounds the only sequential axis."""
+    if graph.directed:
+        raise ValueError("global_curveball requires an undirected graph")
+    e = (
+        graph.E.filter("src != dst")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = graph.V.select("id").localCheckpoint(eager=True)
+    for r in range(rounds):
+        # ---- 1. unique ownership orientation
+        own_src = F.pmod(F.xxhash64("src", "dst", F.lit(seed + 101), F.lit(r)), F.lit(2)) == 0
+        owned = e.select(
+            F.when(own_src, F.col("src")).otherwise(F.col("dst")).alias("o"),
+            F.when(own_src, F.col("dst")).otherwise(F.col("src")).alias("t"),
+        )
+        # ---- 2. seeded perfect matching: hash-sort nodes, pair 2i/2i+1
+        wh = Window.orderBy(F.xxhash64("id", F.lit(seed), F.lit(r)), "id")
+        perm = v.withColumn("pos", F.row_number().over(wh) - F.lit(1))
+        pairs = perm.select(
+            "id",
+            (F.col("pos") / 2).cast("long").alias("pair"),
+            F.pmod("pos", F.lit(2)).alias("side"),
+        )
+        members = pairs.groupBy("pair").agg(
+            F.max(F.when(F.col("side") == 0, F.col("id"))).alias("u"),
+            F.max(F.when(F.col("side") == 1, F.col("id"))).alias("v"),
+        ).filter(F.col("v").isNotNull())
+        # ---- 3. pools with full-neighborhood exclusion
+        inc = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
+            e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        )
+        o_u = owned.join(
+            members.select(F.col("u").alias("o"), "pair", "v"), "o"
+        )  # edges owned by a side-0 member: (o=u, t, pair, v)
+        a_pool = o_u.join(
+            inc.select(F.col("id").alias("v"), F.col("nbr").alias("t")),
+            ["v", "t"],
+            "left_anti",
+        ).filter(F.col("t") != F.col("v")).select(
+            "pair", F.lit(0).alias("from_side"), F.col("t").alias("nbr")
+        )
+        o_v = owned.join(
+            members.select(F.col("v").alias("o"), "pair", "u"), "o"
+        )
+        b_pool = o_v.join(
+            inc.select(F.col("id").alias("u"), F.col("nbr").alias("t")),
+            ["u", "t"],
+            "left_anti",
+        ).filter(F.col("t") != F.col("u")).select(
+            "pair", F.lit(1).alias("from_side"), F.col("t").alias("nbr")
+        )
+        pool = a_pool.unionByName(b_pool)
+        wcnt = Window.partitionBy("pair")
+        wshuf = Window.partitionBy("pair").orderBy(
+            F.xxhash64("nbr", F.lit(seed + 13), F.lit(r)), "nbr"
+        )
+        redist = pool.withColumn(
+            "a_cnt", F.sum(F.when(F.col("from_side") == 0, 1).otherwise(0)).over(wcnt)
+        ).withColumn("rk", F.row_number().over(wshuf))
+        traded_new = redist.join(members, "pair").select(
+            "pair",
+            F.when(F.col("rk") <= F.col("a_cnt"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.col("nbr").alias("b"),
+        ).select(
+            "pair",
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+        )
+        traded_old = a_pool.join(members, "pair").select(
+            "pair", F.col("u").alias("a"), F.col("nbr").alias("b")
+        ).unionByName(
+            b_pool.join(members, "pair").select(
+                "pair", F.col("v").alias("a"), F.col("nbr").alias("b")
+            )
+        ).select(
+            "pair",
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+        )
+        kept = e.join(traded_old.select("src", "dst"), ["src", "dst"], "left_anti")
+        # ---- collision repair: two independent trades (or a trade and a
+        # kept edge) can produce the same edge; revert the involved TRADES
+        # atomically (a pair's originals come back whole — degree-exact, and
+        # reverted originals can never equal a surviving new edge, since new
+        # edges are non-adjacent pairs of the old graph)
+        cand = kept.select("src", "dst").withColumn(
+            "pair", F.lit(None).cast("long")
+        ).unionByName(traded_new)
+        dups = (
+            cand.groupBy("src", "dst").agg(F.count("*").alias("c"))
+            .filter("c > 1")
+            .select("src", "dst")
+        )
+        bad_pairs = (
+            traded_new.join(dups, ["src", "dst"], "left_semi")
+            .select("pair")
+            .distinct()
+        )
+        surviving = traded_new.join(bad_pairs, "pair", "left_anti")
+        reverted = traded_old.join(bad_pairs, "pair", "left_semi")
+        e = (
+            kept.unionByName(surviving.select("src", "dst"))
+            .unionByName(reverted.select("src", "dst"))
+            .localCheckpoint(eager=True)
+        )
+    return GraphDF(
+        graph.V,
+        e.withColumn("weight", F.lit(1.0)),
+        directed=False,
+        weighted=False,
+    )

@@ -197,3 +197,69 @@ def write_partition(partition: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """CoverReader (io/CoverReader.cpp:10-30): line i lists the member node
+    ids of community i; '#' lines are comments. Returns the Cover as
+    (id: long, subset: long) — one row per membership (overlapping)."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("mono"), "value"
+    )
+    w = Window.orderBy("mono")
+    numbered = (
+        lines.filter(~F.col("value").startswith("#"))
+        .withColumn("subset", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    )
+    return (
+        numbered.select(
+            "subset",
+            F.explode(F.split(F.trim("value"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(F.col("tok").cast("long").alias("id"), "subset")
+    )
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """CoverWriter (io/CoverWriter.cpp): line per community, space-separated
+    member ids in ascending order, communities in subset-id order."""
+    (
+        cover.groupBy("subset")
+        .agg(F.array_join(F.array_sort(F.collect_list("id")), " ").alias("value"))
+        .orderBy("subset")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_konect(
+    spark: SparkSession,
+    path: str,
+    multiple_edges: str = "discard",
+) -> GraphDF:
+    """KONECTGraphReader (io/KONECTGraphReader.cpp): '%'-comment header
+    declares directedness/weighting ('% sym|asym [weighted|unweighted]');
+    body is whitespace-separated src dst [weight]. `multiple_edges` ∈
+    {'discard', 'sum', 'min'} per MultipleEdgesHandling
+    (KONECTGraphReader.hpp:22). KONECT ids are 1-based."""
+    raw = spark.read.text(path)
+    header = (
+        raw.filter(F.col("value").startswith("%")).limit(1).collect()
+    )
+    h = header[0]["value"].lower() if header else "% sym unweighted"
+    directed = "asym" in h
+    weighted = "unweighted" not in h and ("weighted" in h or "positive" in h)
+    body = raw.filter(~F.col("value").startswith("%")).filter(
+        F.trim("value") != ""
+    )
+    toks = body.select(F.split(F.trim("value"), r"\s+").alias("t"))
+    e = toks.select(
+        (F.col("t")[0].cast("long") - 1).alias("src"),
+        (F.col("t")[1].cast("long") - 1).alias("dst"),
+        F.coalesce(F.col("t")[2].cast("double"), F.lit(1.0)).alias("weight"),
+    )
+    g = GraphDF.from_edges(e, directed=directed, weighted=weighted)
+    return g.remove_multi_edges(mode=multiple_edges)

@@ -40,6 +40,7 @@ KCORE_ITERS = 6          # h-index fixpoint reached in 2 on supplier_co sf0.01
 CLOSE_DEPTH = 8          # ≥ supplier_co diameter for the closeness oracle
 KATZLP_L = 3             # KatzIndex bounded walk length
 KATZLP_DAMP = 0.005      # KatzIndex damping β
+SIMMELIAN_RANK = 3       # SimmelianOverlapScore maxRank
 SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 LSH_PLANES = 4
@@ -260,6 +261,69 @@ def q_linkpred_extras_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nm, ["u", "v"])
         .join(sc, ["u", "v"])
         .orderBy("u", "v")
+    )
+
+
+def q_laplacian_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import laplacian_centrality
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(laplacian_centrality(g), "score").orderBy("id")
+
+
+def q_sfigality_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import sfigality
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(sfigality(g), "score").orderBy("id")
+
+
+def q_resource_allocation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import resource_allocation_index
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(resource_allocation_index(g), "score").orderBy("u", "v")
+
+
+def q_pref_attachment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import preferential_attachment_index
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(preferential_attachment_index(g), "score").orderBy("u", "v")
+
+
+def q_local_degree_score_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import local_degree_score
+
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(local_degree_score(g), "score").orderBy("src", "dst")
+
+
+def q_sparsification_scores_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN, chance-corrected-triangle, multiscale and Simmelian-overlap
+    edge scores in one row set — four §2.7 operators, full oracle."""
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_score,
+        multiscale_score,
+        scan_structural_similarity_score,
+        simmelian_overlap_score,
+    )
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    scan = scan_structural_similarity_score(g).withColumnRenamed("score", "scan")
+    cct = chance_corrected_triangle_score(g).withColumnRenamed("score", "cct")
+    ms = multiscale_score(g).withColumnRenamed("score", "multiscale")
+    so = simmelian_overlap_score(g, max_rank=SIMMELIAN_RANK).withColumnRenamed(
+        "score", "simmelian"
+    )
+    out = (
+        scan.join(cct, ["src", "dst"])
+        .join(ms, ["src", "dst"])
+        .join(so, ["src", "dst"])
+    )
+    return _round6(out, "scan", "cct", "multiscale", "simmelian").orderBy(
+        "src", "dst"
     )
 
 
@@ -572,6 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_neighbors_supplier": q_common_neighbors_supplier,
         "katz_linkpred_supplier": q_katz_linkpred_supplier,
         "linkpred_extras_supplier": q_linkpred_extras_supplier,
+        "laplacian_supplier_co": q_laplacian_supplier_co,
+        "sfigality_supplier_co": q_sfigality_supplier_co,
+        "resource_allocation_supplier": q_resource_allocation_supplier,
+        "pref_attachment_supplier": q_pref_attachment_supplier,
+        "local_degree_score_supplier": q_local_degree_score_supplier,
+        "sparsification_scores_supplier": q_sparsification_scores_supplier,
         "assortativity_customer_supplier": q_assortativity_customer_supplier,
         "bfs_customer_supplier": q_bfs_customer_supplier,
         "triangle_edge_score_supplier": q_triangle_edge_score_supplier,
@@ -801,6 +871,158 @@ def _linkpred_extras_sql(edges_cte: str, sweeps: int) -> str:
         f" ORDER BY h.u, h.v",
     ]
     return "\n".join(parts)
+
+
+_NB_DEG_CTES = """
+nb AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges WHERE src != dst
+       UNION ALL SELECT dst, src FROM edges WHERE src != dst)),
+degn AS (SELECT src AS id, COUNT(*) AS d FROM nb GROUP BY src)
+"""
+
+
+def _laplacian_sql(edges_cte: str) -> str:
+    """LaplacianCentrality.cpp:15-32: wd(u)² + Σ_{(u,v)} w·(w+2·wd(v))."""
+    return f"""
+WITH {edges_cte},
+esym AS (SELECT src, dst, weight FROM edges WHERE src != dst
+         UNION ALL SELECT dst, src, weight FROM edges WHERE src != dst
+         UNION ALL SELECT src, dst, weight FROM edges WHERE src = dst),
+v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+wd AS (SELECT src AS id, SUM(weight) AS wd FROM esym GROUP BY src),
+nterm AS (SELECT e.src AS id,
+          SUM(e.weight * (e.weight + 2 * w2.wd)) AS nt
+          FROM esym e JOIN wd w2 ON e.dst = w2.id GROUP BY e.src)
+SELECT v.id, ROUND(COALESCE(wd.wd * wd.wd, 0.0) + COALESCE(nt.nt, 0.0), 6)
+       AS score
+FROM v LEFT JOIN wd ON v.id = wd.id LEFT JOIN nterm nt ON v.id = nt.id
+ORDER BY v.id
+"""
+
+
+def _sfigality_sql(edges_cte: str) -> str:
+    return f"""
+WITH {edges_cte},
+{_NB_DEG_CTES.strip()},
+v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+frac AS (
+  SELECT e.src AS id,
+         SUM(CASE WHEN dd.d > ds.d THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS s
+  FROM nb e JOIN degn ds ON e.src = ds.id JOIN degn dd ON e.dst = dd.id
+  GROUP BY e.src)
+SELECT v.id, ROUND(COALESCE(frac.s, 0.0), 6) AS score
+FROM v LEFT JOIN frac ON v.id = frac.id ORDER BY v.id
+"""
+
+
+def _resource_allocation_sql(edges_cte: str) -> str:
+    return f"""
+WITH {edges_cte},
+{_NB_DEG_CTES.strip()}
+SELECT a.dst AS u, b.dst AS v, ROUND(SUM(1.0 / dw.d), 6) AS score
+FROM nb a JOIN nb b ON a.src = b.src AND a.dst < b.dst
+JOIN degn dw ON a.src = dw.id
+GROUP BY a.dst, b.dst ORDER BY u, v
+"""
+
+
+def _pref_attachment_sql(edges_cte: str) -> str:
+    return f"""
+WITH {edges_cte},
+{_NB_DEG_CTES.strip()},
+hop2 AS (SELECT DISTINCT a.dst AS u, b.dst AS v
+         FROM nb a JOIN nb b ON a.src = b.src AND a.dst < b.dst)
+SELECT h.u, h.v, ROUND(CAST(du.d * dv.d AS DOUBLE), 6) AS score
+FROM hop2 h JOIN degn du ON h.u = du.id JOIN degn dv ON h.v = dv.id
+ORDER BY h.u, h.v
+"""
+
+
+def _local_degree_score_sql(edges_cte: str) -> str:
+    """LocalDegreeScore: per direction rank neighbors by degree desc (id
+    asc tie), s = 1 − ln(rank)/ln(deg(src)) (1.0 for deg ≤ 1); canonical
+    max over both directions."""
+    return f"""
+WITH {edges_cte},
+{_NB_DEG_CTES.strip()},
+ranked AS (
+  SELECT e.src, e.dst, ds.d AS d_src,
+         ROW_NUMBER() OVER (PARTITION BY e.src
+                            ORDER BY dd.d DESC, e.dst ASC) AS rnk
+  FROM nb e JOIN degn ds ON e.src = ds.id JOIN degn dd ON e.dst = dd.id),
+per_dir AS (
+  SELECT src, dst,
+         CASE WHEN d_src <= 1 THEN 1.0
+              ELSE 1.0 - LN(rnk) / LN(d_src) END AS s
+  FROM ranked)
+SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+       ROUND(MAX(s), 6) AS score
+FROM per_dir GROUP BY 1, 2 ORDER BY src, dst
+"""
+
+
+def _sparsification_scores_sql(edges_cte: str, max_rank: int) -> str:
+    """SCAN + chance-corrected + multiscale + Simmelian overlap, matching
+    the operators/sparsification.py implementations (per-edge triangle
+    counts from the oriented _TRIANGLE_CORE)."""
+    return f"""
+WITH {edges_cte},
+{_TRIANGLE_CORE.strip()},
+tpairs AS (
+  SELECT LEAST(u, v2) AS src, GREATEST(u, v2) AS dst FROM tri
+  UNION ALL SELECT LEAST(v2, w), GREATEST(v2, w) FROM tri
+  UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM tri),
+tec AS (SELECT src, dst, COUNT(*) AS sc FROM tpairs GROUP BY src, dst),
+canon AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+          SUM(weight) AS weight
+          FROM edges GROUP BY 1, 2),
+etri AS (SELECT c.src, c.dst, c.weight, COALESCE(tec.sc, 0) AS tri
+         FROM canon c LEFT JOIN tec
+         ON c.src = tec.src AND c.dst = tec.dst),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+scan_s AS (
+  SELECT e.src, e.dst,
+         (e.tri + 1) / SQRT((ds.d + 1.0) * (dd.d + 1.0)) AS scan
+  FROM etri e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id),
+cct_s AS (
+  SELECT e.src, e.dst,
+         CASE WHEN e.tri > 0
+              THEN e.tri * ((SELECT n FROM nn) - 2)
+                   / ((ds.d - 1) * (dd.d - 1))
+              WHEN ds.d = 1 OR dd.d = 1 THEN 1.0
+              ELSE 0.0 END AS cct
+  FROM etri e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id),
+att2 AS (SELECT src, dst, weight FROM etri
+         UNION ALL SELECT dst, src, weight FROM etri),
+ms_dir AS (
+  SELECT src, dst,
+         1.0 - POWER(1.0 - weight / (SUM(weight) OVER (PARTITION BY src)),
+                     (COUNT(*) OVER (PARTITION BY src)) - 1.0) AS p
+  FROM att2),
+ms_s AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+         MAX(p) AS multiscale FROM ms_dir GROUP BY 1, 2),
+tri2 AS (SELECT src, dst, tri FROM etri
+         UNION ALL SELECT dst, src, tri FROM etri),
+rnk AS (
+  SELECT src AS ego, dst AS w2,
+         RANK() OVER (PARTITION BY src ORDER BY tri DESC) - 1 AS r
+  FROM tri2),
+topk AS (SELECT ego, w2 FROM rnk WHERE r <= {max_rank}),
+ovl AS (
+  SELECT a.ego AS u, b.ego AS v, COUNT(*) AS ov
+  FROM topk a JOIN topk b ON a.w2 = b.w2 AND a.ego < b.ego
+  GROUP BY 1, 2),
+sim_s AS (
+  SELECT c.src, c.dst, CAST(COALESCE(o.ov, 0) AS DOUBLE) AS simmelian
+  FROM canon c LEFT JOIN ovl o ON c.src = o.u AND c.dst = o.v)
+SELECT s1.src, s1.dst, ROUND(s1.scan, 6) AS scan, ROUND(s2.cct, 6) AS cct,
+       ROUND(s3.multiscale, 6) AS multiscale,
+       ROUND(s4.simmelian, 6) AS simmelian
+FROM scan_s s1
+JOIN cct_s s2 ON s1.src = s2.src AND s1.dst = s2.dst
+JOIN ms_s s3 ON s1.src = s3.src AND s1.dst = s3.dst
+JOIN sim_s s4 ON s1.src = s4.src AND s1.dst = s4.dst
+ORDER BY s1.src, s1.dst
+"""
 
 
 def _partition_measures_sql(edges_cte: str, sweeps: int) -> str:
@@ -1317,6 +1539,20 @@ FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
         ),
         "linkpred_extras_supplier": _linkpred_extras_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS
+        ),
+        "laplacian_supplier_co": _laplacian_sql(tg.SUPPLIER_CO_EDGES_CTE.strip()),
+        "sfigality_supplier_co": _sfigality_sql(tg.SUPPLIER_CO_EDGES_CTE.strip()),
+        "resource_allocation_supplier": _resource_allocation_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip()
+        ),
+        "pref_attachment_supplier": _pref_attachment_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip()
+        ),
+        "local_degree_score_supplier": _local_degree_score_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip()
+        ),
+        "sparsification_scores_supplier": _sparsification_scores_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), SIMMELIAN_RANK
         ),
         "kcore_supplier_co": _kcore_hindex_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), KCORE_ITERS

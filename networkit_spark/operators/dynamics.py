@@ -94,3 +94,55 @@ class DynKatzCentrality(DynAlgorithm):
         self.result = katz_centrality(
             self.graph, alpha=self.alpha, beta=self.beta, tol=self.tol
         ).localCheckpoint(eager=True)
+
+
+def incremental_wcc_additions(
+    labels: DataFrame, new_edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """DynConnectedComponents incremental ADDITION path
+    (components/DynConnectedComponents.cpp addEdge: merge the two
+    endpoints' components). TRUE incremental maintenance, not recompute:
+    contract each new edge to its endpoints' current component labels and
+    run hash-min + pointer jumping on that CONTRACTED graph — state is
+    O(#touched components), not O(|V|), so a small delta batch costs a few
+    tiny supersteps regardless of graph size (the only viable shape at
+    10^12 edges under streaming updates).
+
+    labels: (id, component) current result; new_edges: (src, dst).
+    Returns the updated (id, component). Component ids keep the
+    dense-rank-of-min-id contract by renumbering only if merges happened.
+    """
+    from networkit_spark.operators.components import (
+        _hash_min_fixpoint,
+        renumber_dense_by_min_id,
+    )
+
+    lab_src = labels.select(F.col("id").alias("src"), F.col("component").alias("ca"))
+    lab_dst = labels.select(F.col("id").alias("dst"), F.col("component").alias("cb"))
+    comp_edges = (
+        new_edges.select("src", "dst")
+        .join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .filter("src != dst")
+        .distinct()
+    )
+    if comp_edges.limit(1).count() == 0:
+        return labels
+    touched = (
+        comp_edges.select(F.col("src").alias("id"))
+        .union(comp_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sym = comp_edges.unionByName(
+        comp_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    merged = _hash_min_fixpoint(sym, touched, max_iterations)
+    remap = merged.select(
+        F.col("id").alias("component"), F.col("label").alias("new_c")
+    )
+    updated = labels.join(F.broadcast(remap), "component", "left").select(
+        "id",
+        F.coalesce("new_c", "component").alias("label"),
+    )
+    return renumber_dense_by_min_id(updated)

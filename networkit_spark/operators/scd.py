@@ -168,3 +168,97 @@ def page_rank_nibble(
     the seed + conductance sweep."""
     ppr = personalized_pagerank(graph, [seed], damping=damping)
     return conductance_sweep(graph, ppr)
+
+
+def gce(
+    graph: GraphDF,
+    seeds: list[int],
+    max_rounds: int = 100,
+) -> DataFrame:
+    """GCE — greedy community expansion, objective M (scd/GCE.cpp:185-193):
+    repeatedly add the shell node maximizing
+        ΔM = (intW + degInt(v)) / (extW − degInt(v) + degExt(v)) − M
+    while ΔM > 0, where intW/extW are the community's internal/external
+    edge weights. BATCHED over all seeds: one round = one shell join + one
+    per-seed argmax window, every seed grows simultaneously (the reference
+    loops seeds one by one). Deterministic tie-break (gain desc, id asc).
+    Self-loop-free graphs (the reference throws on self-loops too).
+
+    Returns (seed: long, id: long) community membership rows.
+    """
+    spark = graph.V.sparkSession
+    e = graph.E_sym.filter("src != dst").select("src", "dst", "weight")
+    e = e.repartition("src").sortWithinPartitions("src").persist()
+    e.count()
+    wdeg = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("wd"))
+
+    members = spark.createDataFrame(
+        [(int(s), int(s)) for s in seeds], "seed long, id long"
+    ).localCheckpoint(eager=True)
+    # per-seed scalar state: intW, extW (extW of {s} = wdeg(s))
+    state = (
+        members.join(wdeg, "id", "left")
+        .select(
+            "seed",
+            F.lit(0.0).alias("intw"),
+            F.coalesce("wd", F.lit(0.0)).alias("extw"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        m_src = members.select("seed", F.col("id").alias("src"))
+        # candidate shell: (seed, cand) with degInt = weight into community
+        deg_int = (
+            e.join(m_src, "src")
+            .select("seed", F.col("dst").alias("cand"), "weight")
+            .join(
+                members.select("seed", F.col("id").alias("cand")),
+                ["seed", "cand"],
+                "left_anti",
+            )
+            .groupBy("seed", "cand")
+            .agg(F.sum("weight").alias("deg_int"))
+        )
+        scored = (
+            deg_int.join(wdeg.select(F.col("id").alias("cand"), "wd"), "cand")
+            .join(state, "seed")
+            .select(
+                "seed",
+                "cand",
+                "deg_int",
+                (F.col("wd") - F.col("deg_int")).alias("deg_ext"),
+                (
+                    (F.col("intw") + F.col("deg_int"))
+                    / (F.col("extw") - F.col("deg_int") + F.col("wd") - F.col("deg_int"))
+                    - F.when(F.col("extw") > 0, F.col("intw") / F.col("extw"))
+                      .otherwise(F.lit(0.0))
+                ).alias("gain"),
+            )
+        )
+        w = Window.partitionBy("seed").orderBy(F.desc("gain"), F.asc("cand"))
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("gain") > 0))
+            .localCheckpoint(eager=True)
+        )
+        if best.limit(1).count() == 0:
+            break
+        members = members.unionByName(
+            best.select("seed", F.col("cand").alias("id"))
+        ).localCheckpoint(eager=True)
+        accepted = best.select("seed", "deg_int", "deg_ext")
+        state = (
+            state.join(accepted, "seed", "left")
+            .select(
+                "seed",
+                (F.col("intw") + F.coalesce("deg_int", F.lit(0.0))).alias("intw"),
+                (
+                    F.col("extw")
+                    - F.coalesce("deg_int", F.lit(0.0))
+                    + F.coalesce("deg_ext", F.lit(0.0))
+                ).alias("extw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return members

@@ -64,13 +64,14 @@ def triangle_list(
     partitions, bounding per-task wedge state instead of spilling."""
     spark = graph.V.sparkSession
     e_or = oriented_edges(graph).persist()
-    m = e_or.count()
+    stats = e_or.agg(
+        F.count("*").alias("m"),
+        F.greatest(F.max("src"), F.max("dst")).alias("mx"),
+    ).collect()[0]  # ONE materializing job: row count + id bound together
+    m, max_id = stats["m"], stats["mx"] or 0
     a = e_or.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     b = e_or.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = a.join(b, "v")
-    max_id = e_or.agg(
-        F.greatest(F.max("src"), F.max("dst"))
-    ).collect()[0][0] or 0
     if m <= broadcast_threshold_rows and max_id < (1 << 31):
         # pack (u,w) into ONE long key: the broadcast probe uses Spark's
         # specialized LongHashedRelation (~2.5× faster probes than the

@@ -81,3 +81,42 @@ def test_dyn_cc_update(spark):
     ev = events_from_list(spark, [(0, "EDGE_ADDITION", 1, 2, 1.0)])
     res = dyn.update(ev)
     assert res.select("component").distinct().count() == 1
+
+
+def test_incremental_wcc_additions(spark):
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.dynamics import incremental_wcc_additions
+
+    # two components 0-1-2 and 3-4; adding (2,3) merges them
+    g = GraphDF.from_edge_list(spark, [(0, 1), (1, 2), (3, 4)], num_nodes=5)
+    labels = connected_components(g)
+    new_e = spark.createDataFrame([(2, 3)], "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in incremental_wcc_additions(labels, new_e).collect()}
+    g2 = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (3, 4), (2, 3)], num_nodes=5
+    )
+    want = {r["id"]: r["component"] for r in connected_components(g2).collect()}
+    assert got == want
+    # intra-component addition: no change
+    same = {r["id"]: r["component"] for r in incremental_wcc_additions(
+        labels, spark.createDataFrame([(0, 2)], "src long, dst long")
+    ).collect()}
+    assert same == {r["id"]: r["component"] for r in labels.collect()}
+
+
+def test_gce_expands_seed_community(spark):
+    """GCE objective-M vs a direct greedy oracle on a two-clique barbell."""
+    from networkit_spark.operators.scd import gce
+
+    # two 4-cliques joined by a single bridge edge
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    edges = cl1 + cl2 + [(3, 4)]
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=8)
+    out = gce(g, seeds=[0, 7])
+    comm = {}
+    for r in out.collect():
+        comm.setdefault(r["seed"], set()).add(r["id"])
+    assert comm[0] == {0, 1, 2, 3}   # stops before crossing the bridge
+    assert comm[7] == {4, 5, 6, 7}

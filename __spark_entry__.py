@@ -503,6 +503,34 @@ FROM mutual ORDER BY id
 """
 
 
+def _conv_graph(spark: SparkSession) -> GraphDF:
+    from networkit_spark.sources.transcripts import conv_adjacency_edges
+
+    t = synthesize_transcripts(spark, N_CONVS)
+    e = conv_adjacency_edges(t).select(
+        F.substring("src_conv", 6, 6).cast("long").alias("src"),
+        F.substring("dst_conv", 6, 6).cast("long").alias("dst"),
+        "weight",
+    )
+    return GraphDF.from_edges(e, directed=True, weighted=True)
+
+
+def q_plp_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.plp import plp_fixed
+
+    tune_for_iteration(spark)
+    g = _conv_graph(spark)
+    return plp_fixed(g, iterations=PLP_SWEEPS).orderBy("id")
+
+
+def q_triangles_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import triangle_counts
+
+    tune_for_iteration(spark)
+    g = _conv_graph(spark).to_undirected()
+    return triangle_counts(g).orderBy("id")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per user, 30-min inactivity gap splits sessions —
     the canonical streaming-adjacent window op."""
@@ -654,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_conv_edges": q_transcripts_conv_edges,
         "wcc_transcripts_conv": q_wcc_transcripts_conv,
         "scc_transcripts_conv": q_scc_transcripts_conv,
+        "plp_transcripts_conv": q_plp_transcripts_conv,
+        "triangles_transcripts_conv": q_triangles_transcripts_conv,
         "events_sessions": q_events_sessions,
         "quality_documents": q_quality_documents,
         "language_id_documents": q_language_id_documents,
@@ -1578,6 +1608,12 @@ SELECT src, dst, weight FROM edges ORDER BY src, dst
 """,
         "wcc_transcripts_conv": _wcc_sql(_conv_edges_cte(N_CONVS).strip()),
         "scc_transcripts_conv": _scc_sql(_conv_edges_cte(N_CONVS).strip()),
+        "plp_transcripts_conv": _plp_sql(
+            _conv_edges_cte(N_CONVS).strip(), PLP_SWEEPS
+        ),
+        "triangles_transcripts_conv": _triangles_sql(
+            _conv_edges_cte(N_CONVS).strip()
+        ),
         "events_sessions": f"""
 WITH marked AS (
   SELECT user_id, event_id, ts,

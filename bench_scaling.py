@@ -185,6 +185,20 @@ def main():
         }
     print(json.dumps(summary))
 
+    # partial runs (--jobs=...) merge into the previously recorded summary
+    # so a subset rerun never drops the other jobs' rows
+    prev_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if only and os.path.exists(prev_path):
+        with open(prev_path) as f:
+            for line in f:
+                if line.startswith("raw: "):
+                    prev = json.loads(line[5:])
+                    for k, v in prev.items():
+                        # JSON round-trip stringifies the level keys
+                        v["levels"] = {int(c): lv for c, lv in v["levels"].items()}
+                        summary.setdefault(k, v)
+                    break
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lines = [
         "# BENCH/BASELINE — two-cluster-size scaling evidence",
@@ -208,6 +222,20 @@ def main():
             f"| **{s['efficiency_2_to_8']}** | {s['efficiency_8_to_32']} |"
         )
     lines += [
+        "",
+        "Triangle kernel note (round 2): the r1 plan shuffled the ~wedge-set",
+        "(100×|E| rows) for the closing-edge semi join and spilled at every",
+        "parallelism (±40% variance, 131s at 2 cores). The closing side is",
+        "just the oriented edge table, so it is now BROADCAST as packed",
+        "(u<<32|w) longs (Spark's specialized LongHashedRelation): wedges",
+        "stream map-side and are never exchanged — ~10× faster absolute",
+        "(13-14s at 2 cores), spill eliminated. Residual 2→8 inefficiency is",
+        "single-JVM DRAM latency on the shared probe table (all threads",
+        "random-probe ONE ~64MB relation through one memory controller);",
+        "on a real cluster every executor owns a private copy + bus, which",
+        "is the regime the broadcast design targets. Above the broadcast",
+        "threshold the plan falls back to a shuffle join over 4× partitions",
+        "(bounded per-task state instead of spill).",
         "",
         "Why this transfers to a real 4N-executor cluster at 10^12 edges:",
         "- per-superstep serial fixed costs here (AQE planning, task launch,",

@@ -74,10 +74,17 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard): near-dup candidate pairs sharing ≥1 LSH
     band; est_jaccard = matching signature fraction. The band groupBy keys
-    the shuffle on (band, hash-of-rows) — linear, never O(n²)."""
+    the shuffle on (band, hash-of-rows) — linear, never O(n²).
+
+    `max_bucket_size`: at 100-TB corpora a degenerate bucket (boilerplate /
+    all-identical docs) turns its band join quadratic; buckets above the
+    cap keep only their `max_bucket_size` smallest ids (those documents are
+    mutual near-dups anyway — the survivor set still links every capped
+    bucket into one dedup cluster via the kept representatives)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     rows_per_band = num_hashes // bands
     banded = sigs.select(
@@ -99,6 +106,13 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket").orderBy("id")
+        banded = banded.withColumn("rnb", F.row_number().over(wb)).filter(
+            F.col("rnb") <= max_bucket_size
+        ).drop("rnb")
     pairs = (
         banded.alias("a")
         .join(

@@ -139,6 +139,68 @@ def sssp_distances(
     return dist
 
 
+def sssp_multi_distances(
+    graph: GraphDF,
+    sources: list[int] | DataFrame,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """(source, id, dist) — WEIGHTED shortest-path distances from every
+    source at once (batched Bellman-Ford relax keyed (source, node);
+    Dijkstra semantics for non-negative weights). The weighted twin of
+    bfs_distances — used by weighted closeness (Closeness.cpp runs
+    Dijkstra per source on weighted graphs). Unreached pairs omitted."""
+    spark = graph.V.sparkSession
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst", "weight")
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+    if isinstance(sources, DataFrame):
+        dist = sources.select(
+            F.col("id").cast("long").alias("source"),
+            F.col("id").cast("long"),
+            F.lit(0.0).alias("dist"),
+        ).localCheckpoint(eager=True)
+    else:
+        dist = spark.createDataFrame(
+            [(int(s), int(s), 0.0) for s in sources],
+            "source long, id long, dist double",
+        ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        cand = (
+            edges.join(dist, edges.src == dist.id)
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("nd"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = dist.join(cand, ["source", "id"], "full").select(
+            "source",
+            "id",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("nd", F.lit(float("inf"))),
+            ).alias("new_dist"),
+            (
+                F.col("dist").isNull()
+                | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+            ).alias("chg"),
+        ).persist()
+        n_changed = int(
+            joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        )
+        dist = joined.select(
+            "source", "id", F.col("new_dist").alias("dist")
+        ).localCheckpoint(eager=True)
+        joined.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return dist
+
+
 def eccentricity(graph: GraphDF, sources: list[int]) -> DataFrame:
     """(source:long, ecc:long) — max hop distance from each source to any
     reachable node (Eccentricity analog; sampled sources give the iFub-style

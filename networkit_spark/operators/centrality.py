@@ -62,19 +62,30 @@ def eigenvector_centrality(
         mass = contrib.groupBy("dst").agg(F.sum("m").alias("m"))
         raw = v.join(mass, v.id == mass.dst, "left").select(
             "id", F.coalesce("m", F.lit(0.0)).alias("raw")
+        ).persist()
+        # ONE aggregation pass carries norm AND delta (VERDICT r1 #4):
+        # ‖raw/‖raw‖ − old‖² = 1 − 2·⟨raw,old⟩/‖raw‖ + ‖old‖²
+        agg = (
+            raw.join(score.select("id", F.col("score").alias("o")), "id")
+            .agg(
+                F.sum(F.col("raw") * F.col("raw")).alias("r2"),
+                F.sum(F.col("raw") * F.col("o")).alias("dot"),
+                F.sum(F.col("o") * F.col("o")).alias("o2"),
+            )
+            .collect()[0]
         )
-        nrm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0]
+        nrm = math.sqrt(float(agg["r2"] or 0.0))
         if not nrm:
+            raw.unpersist()
             break
+        delta = math.sqrt(
+            max(0.0, 1.0 - 2.0 * float(agg["dot"] or 0.0) / nrm + float(agg["o2"] or 0.0))
+        )
         new_score = raw.select("id", (F.col("raw") / F.lit(nrm)).alias("score"))
         new_score = new_score.localCheckpoint(eager=True)
-        delta = (
-            new_score.join(score.select("id", F.col("score").alias("o")), "id")
-            .agg(F.sqrt(F.sum((F.col("score") - F.col("o")) ** 2)))
-            .collect()[0][0]
-        )
+        raw.unpersist()
         score = new_score
-        if delta is not None and delta <= tol:
+        if delta <= tol:
             break
     edges.unpersist()
     v.unpersist()

@@ -61,19 +61,30 @@ def closeness_centrality(
     sources: DataFrame | list[int] | None = None,
     normalized: bool = True,
     n_chunks: int = 1,
+    weighted: bool = False,
 ) -> DataFrame:
     """(id, score) for the given sources (default: all nodes — exact).
     Generalized variant (Closeness.hpp:78-93): (r−1)/Σd/(n−1), ×(r−1) if
-    normalized; isolated/unreachable-everything nodes score 0. Hop-count
-    distances (unweighted BFS; use sssp-based scores for weighted)."""
+    normalized; isolated/unreachable-everything nodes score 0.
+    `weighted=True` uses edge-weight distances (batched multi-source
+    Bellman-Ford — the reference's per-source Dijkstra, Closeness.cpp);
+    default is hop-count BFS like the reference's unweighted mode."""
     src_df = _source_df(graph, sources)
     n = graph.number_of_nodes()
-    agg = _chunked_bfs_agg(
-        graph,
-        src_df,
-        [F.sum("dist").alias("total"), F.count("*").alias("reached")],
-        n_chunks,
-    )
+    if weighted and graph.weighted:
+        from networkit_spark.operators.bfs import sssp_multi_distances
+
+        d = sssp_multi_distances(graph, src_df).filter("dist > 0")
+        agg = d.groupBy("source").agg(
+            F.sum("dist").alias("total"), F.count("*").alias("reached")
+        )
+    else:
+        agg = _chunked_bfs_agg(
+            graph,
+            src_df,
+            [F.sum("dist").alias("total"), F.count("*").alias("reached")],
+            n_chunks,
+        )
     inv_n1 = F.lit(1.0 / float(max(n - 1, 1)))
     score = agg.select(
         F.col("source").alias("id"),

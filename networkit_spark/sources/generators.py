@@ -357,3 +357,84 @@ def barabasi_albert(
     )
     v = spark_.range(n_max).select(F.col("id").cast("long"))
     return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+# ------------------------------------------------- dynamic generators (§2.1)
+def dynamic_erdos_events(
+    spark: SparkSession,
+    n: int,
+    batches: int,
+    events_per_batch: int,
+    seed: int = 42,
+):
+    """DynamicGraphGenerator family analog (reference
+    generators/Dynamic*.cpp emit GraphEvent streams): seeded random edge
+    ADDITION/REMOVAL events over n nodes, `batches` micro-batches of
+    `events_per_batch` each. Returns an events DataFrame
+    (seq, type, u, v, w) for streaming/events.apply_events — the dynamic
+    fixture source for Dyn* algorithms."""
+    total = batches * events_per_batch
+    df = spark.range(total).select(F.col("id").alias("seq"))
+    u = F.pmod(_u(F.xxhash64("seq", F.lit(seed), F.lit(1))), F.lit(n))
+    v_raw = F.pmod(_u(F.xxhash64("seq", F.lit(seed), F.lit(2))), F.lit(n - 1))
+    v = v_raw + (v_raw >= u).cast("long")  # v != u
+    is_add = F.pmod(_u(F.xxhash64("seq", F.lit(seed), F.lit(3))), F.lit(4)) < 3
+    return df.select(
+        "seq",
+        F.when(is_add, F.lit("EDGE_ADDITION"))
+        .otherwise(F.lit("EDGE_REMOVAL"))
+        .alias("type"),
+        u.cast("long").alias("u"),
+        v.cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+
+
+def dynamic_barabasi_events(
+    spark: SparkSession, k: int, n_max: int, seed: int = 42
+):
+    """DynamicBarabasiAlbertGenerator analog: the barabasi_albert growth
+    process replayed as a GraphEvent stream — NODE_ADDITION for each new
+    node followed by its k preferential EDGE_ADDITIONs, in growth order.
+    Folding the stream (streaming/events.graph_from_events) reproduces
+    barabasi_albert(spark, k, n_max, seed) EXACTLY (tested) — the
+    stream and the static generator are the same seeded process."""
+    g = barabasi_albert(spark, k, n_max, seed=seed)
+    # initial nodes + cycle edges get the first seq numbers; node t's
+    # events start at base = (k+1) + k + (t-k)*(1+k)
+    init_nodes = spark.range(k).select(
+        F.col("id").alias("seq"),
+        F.lit("NODE_ADDITION").alias("type"),
+        F.col("id").cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    cycle = spark.range(k).select(
+        (F.col("id") + k).alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("id").cast("long").alias("u"),
+        F.pmod(F.col("id") + 1, F.lit(k)).cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    # growth edges: order by (max endpoint = the grown node t, other)
+    grown = g.E.select(
+        F.greatest("src", "dst").alias("t"), F.least("src", "dst").alias("o")
+    ).filter(F.col("t") >= k)
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("t").orderBy("o")
+    node_ev = spark.range(k, n_max).select(
+        (F.lit(2 * k) + (F.col("id") - k) * (k + 1)).alias("seq"),
+        F.lit("NODE_ADDITION").alias("type"),
+        F.col("id").cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    edge_ev = grown.withColumn("i", F.row_number().over(wt)).select(
+        (F.lit(2 * k) + (F.col("t") - k) * (k + 1) + F.col("i")).alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("t").cast("long").alias("u"),
+        F.col("o").cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    return init_nodes.unionByName(cycle).unionByName(node_ev).unionByName(edge_ev)

@@ -110,3 +110,35 @@ def test_effective_diameter_exact_and_approx(spark):
     approx = effective_diameter_approx(g, ratio=0.9)
     assert 1.0 <= exact <= 5.0
     assert abs(approx - exact) <= 1.5  # FM sketch tolerance on 34 nodes
+
+
+def test_weighted_closeness_uses_edge_weights(spark):
+    """Path 0 -2.0- 1 -3.0- 2: weighted distances differ from hop counts."""
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1, 2.0), (1, 2, 3.0)], weighted=True, num_nodes=3
+    )
+    got = {r["id"]: r["score"]
+           for r in closeness_centrality(g, weighted=True, normalized=False).collect()}
+    n = 3
+    # node 0: dists {1: 2, 2: 5} → (r-1)/sum/(n-1) = 2/7/2
+    assert math.isclose(got[0], 2 / 7 / 2, abs_tol=1e-9)
+    # node 1: dists {0: 2, 2: 3} → 2/5/2
+    assert math.isclose(got[1], 2 / 5 / 2, abs_tol=1e-9)
+
+
+def test_sssp_multi_matches_single(spark):
+    from networkit_spark.operators.bfs import sssp_distances, sssp_multi_distances
+
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.0)],
+        weighted=True, num_nodes=4,
+    )
+    multi = {
+        (r["source"], r["id"]): r["dist"]
+        for r in sssp_multi_distances(g, [0, 2]).collect()
+    }
+    for s in (0, 2):
+        single = {r["id"]: r["dist"] for r in sssp_distances(g, s).collect()
+                  if r["dist"] is not None}
+        for node, d in single.items():
+            assert math.isclose(multi[(s, node)], d, abs_tol=1e-12), (s, node)

@@ -185,3 +185,33 @@ def test_barabasi_albert_parallel(spark):
     e1 = sorted((r["src"], r["dst"]) for r in g.E.collect())
     e2 = sorted((r["src"], r["dst"]) for r in g2.E.collect())
     assert e1 == e2
+
+
+def test_dynamic_barabasi_stream_folds_to_static_graph(spark):
+    """The event stream IS the static generator: folding it reproduces
+    barabasi_albert exactly."""
+    from networkit_spark.sources.generators import (
+        barabasi_albert,
+        dynamic_barabasi_events,
+    )
+    from networkit_spark.streaming.events import graph_from_events
+
+    k, n = 3, 40
+    ev = dynamic_barabasi_events(spark, k, n, seed=6)
+    folded = graph_from_events(spark, ev, directed=False)
+    want = barabasi_albert(spark, k, n, seed=6)
+    e1 = sorted((r["src"], r["dst"]) for r in folded.E.collect())
+    e2 = sorted((r["src"], r["dst"]) for r in want.E.collect())
+    assert e1 == e2
+    assert folded.number_of_nodes() == n
+
+
+def test_dynamic_erdos_events_fold(spark):
+    from networkit_spark.sources.generators import dynamic_erdos_events
+    from networkit_spark.streaming.events import graph_from_events
+
+    ev = dynamic_erdos_events(spark, 30, batches=4, events_per_batch=50, seed=2)
+    assert ev.count() == 200
+    g = graph_from_events(spark, ev, directed=False)
+    chk = g.check_consistency()
+    assert chk["duplicate_edges"] == 0 and chk["invalid_weights"] == 0

@@ -171,3 +171,20 @@ def test_media_plumbing(spark):
     chunks = audio_chunk_plan(media, chunk_ms=60_000)
     bad = chunks.filter("end_ms > start_ms").count()
     assert bad == chunks.count()
+
+
+def test_minhash_bucket_cap_keeps_duplicate_clusters_linked(spark):
+    """With a degenerate all-identical corpus, the per-bucket cap bounds the
+    band join while still surfacing near-dup pairs among survivors."""
+    from networkit_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text repeated again and again for everyone") for i in range(20)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_candidates(docs, max_bucket_size=5).collect()
+    # survivors = 5 smallest ids per bucket → exactly C(5,2) pairs
+    assert len(capped) == 10
+    assert all(r["est_jaccard"] == 1.0 for r in capped)
+    ids = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert ids == {0, 1, 2, 3, 4}

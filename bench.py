@@ -101,7 +101,8 @@ def main():
     }
 
     # ---- triangle counting on the sparse transcript conv→conv graph
-    g_conv = conv_graph(spark).to_undirected()
+    g_conv_d = conv_graph(spark)
+    g_conv = g_conv_d.to_undirected()
     m_conv = g_conv.number_of_edges()
     t0 = time.time()
     triangle_counts(g_conv).count()
@@ -111,6 +112,26 @@ def main():
         "edges": m_conv,
         "edges_per_sec": round(m_conv / dt, 1),
     }
+
+    # ---- round-2 additions (new keys — r1 keys stay comparable)
+    from networkit_spark.operators.betweenness import estimate_betweenness
+    from networkit_spark.operators.components import strongly_connected_components
+    from networkit_spark.operators.kcore import core_decomposition_hindex
+
+    t0 = time.time()
+    core_decomposition_hindex(g_co).count()
+    timings["kcore_hindex_co"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    strongly_connected_components(g_cs).count()
+    timings["scc_cs"] = round(time.time() - t0, 3)
+
+    # sampled betweenness on the (shallow-diameter) undirected cs graph —
+    # level-synchronous Brandes is O(diameter) supersteps by nature, so the
+    # deep-chain conv graph is the wrong fixture for a wall-clock bench
+    t0 = time.time()
+    estimate_betweenness(g_cs.to_undirected(), n_samples=16).count()
+    timings["betweenness_est_cs"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

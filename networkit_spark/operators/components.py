@@ -163,16 +163,21 @@ def strongly_connected_components(
     """(id: long, component: long) — SCCs of a DIRECTED graph.
 
     Reference: StronglyConnectedComponents.cpp:33-140 (iterative Tarjan).
-    A DFS stack doesn't distribute; the Spark-native equivalent is
-    forward-max coloring + backward containment (the FB/ColorSCC family):
-      1. color(v) := max node id that reaches v, computed by max-propagation
-         over in-edges WITH pointer jumping (colors are node ids, so
-         color(v) ← max(color(v), color(color(v))) halves remaining depth —
-         O(log n) supersteps, same trick as hash-min WCC).
-      2. Every color class c contains the pivot v = c; SCC(c) = nodes of
-         color c that reach c BACKWARD within the class (level BFS over
-         reversed edges restricted to color c).
-      3. Peel those SCCs off the active set; repeat.
+    A DFS stack doesn't distribute; the Spark shape is the random-pivot
+    reachability-signature algorithm (Coppersmith–Fleischer–Pinar family),
+    every phase a pointer-jumped fixpoint:
+      1. color(v)  := max-PRIORITY node reaching v (priorities = per-round
+         seeded hashes; struct-max propagation + pointer jumping via the
+         carrier node — O(log depth) supersteps).
+      2. bcolor(v) := max-priority node reachable from v WITHIN its color
+         class (same machinery on reversed same-class edges). The pivot is
+         its class's unique priority maximum, so SCC(pivot) = exactly
+         {v: color(v) = bcolor(v)} — peeled for ALL classes at once.
+      3. CUT every edge whose endpoints differ in (color, bcolor): both
+         signatures are constant on an SCC, so cross-cell edges are never
+         intra-SCC. The cut is what makes the expected number of peel
+         rounds O(log n) (random pivots shatter long chains at their
+         priority record-maxima).
     Component ids follow this engine's determinism contract: dense rank of
     the SCC's minimum node id (the reference's Tarjan completion order is
     DFS-dependent; structure matches exactly, ids are renumbered —
@@ -203,85 +208,147 @@ def _scc_impl(graph: GraphDF, max_rounds: int, max_inner: int) -> DataFrame:
     active_v = graph.V.select("id").localCheckpoint(eager=True)
     assigned = []  # DataFrames (id, label) with label = SCC pivot id
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if active_v.limit(1).count() == 0:
             break
-        # ---- 1. forward max coloring with pointer jumping
-        color = active_v.select("id", F.col("id").alias("color"))
-        color = color.localCheckpoint(eager=True)
+        # ---- 1. forward MAX-PRIORITY coloring with pointer jumping.
+        # Priorities are per-round seeded hashes, NOT raw ids: with raw ids
+        # a monotone chain (the shape of temporal conv graphs) peels one
+        # pivot per round — O(depth) rounds. Random priorities split every
+        # chain at its priority record-maxima, giving O(log n) expected
+        # rounds (the Coppersmith–Fleischer–Pinar random-pivot argument).
+        # The color is a (priority, node) struct so pointer jumping can
+        # follow the carrier node.
+        color = active_v.select(
+            "id",
+            F.struct(
+                F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
+                F.col("id").alias("n"),
+            ).alias("c"),
+        ).localCheckpoint(eager=True)
         for _ in range(max_inner):
             nbr = (
                 active_e.join(color, active_e.src == color.id)
                 .groupBy("dst")
-                .agg(F.max("color").alias("nbr_color"))
+                .agg(F.max("c").alias("nc"))
             )
             new_color = (
                 color.join(nbr, color.id == nbr.dst, "left")
                 .select(
                     "id",
-                    F.greatest(
-                        F.col("color"), F.coalesce("nbr_color", F.col("color"))
-                    ).alias("color"),
+                    F.greatest(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c"),
                 )
             )
             parent = new_color.select(
-                F.col("id").alias("p_id"), F.col("color").alias("p_color")
+                F.col("id").alias("p_id"), F.col("c").alias("p_c")
             )
             new_color = (
-                new_color.join(parent, new_color.color == parent.p_id, "left")
-                .select("id", F.greatest(
-                    F.col("color"), F.coalesce("p_color", F.col("color"))
-                ).alias("color"))
+                new_color.join(
+                    parent, new_color.c.getField("n") == parent.p_id, "left"
+                )
+                .select(
+                    "id",
+                    F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
+                )
                 .persist()
             )
             n_changed = (
-                new_color.alias("n")
+                new_color.alias("nw")
                 .join(color.alias("o"), "id")
-                .filter(F.col("n.color") != F.col("o.color"))
+                .filter(F.col("nw.c") != F.col("o.c"))
                 .count()
             )
             new_color = new_color.localCheckpoint(eager=True)
             color = new_color
             if n_changed == 0:
                 break
-        # ---- 2. backward BFS from pivots within each color class
-        # reversed edges restricted to same-color endpoints
+        color = color.select("id", F.col("c").getField("n").alias("color"))
+        # ---- 2. backward containment as a SECOND coloring fixpoint.
+        # Every class member has strictly lower priority than its pivot
+        # (color(w)=c requires (p(c),c) > (p(w),w)), so within a class the
+        # pivot is the unique max-priority node; bcolor(v) = max-priority
+        # node REACHABLE from v within the class therefore equals the pivot
+        # IFF v reaches it. Same struct-max + pointer-jump machinery over
+        # the REVERSED same-class edges — O(log depth) supersteps, not the
+        # O(depth) level BFS this used to be.
         c_src = color.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
         c_dst = color.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
-        e_same = (
+        e_rev = (
             active_e.join(c_src, "src").join(c_dst, "dst")
             .filter(F.col("c_src") == F.col("c_dst"))
-            .select(F.col("dst").alias("from_"), F.col("src").alias("to_"),
-                    F.col("c_src").alias("color"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             .localCheckpoint(eager=True)
         )
-        member = color.filter(F.col("id") == F.col("color")).select(
-            "color", F.col("id")
+        bcolor = active_v.select(
+            "id",
+            F.struct(
+                F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
+                F.col("id").alias("n"),
+            ).alias("c"),
         ).localCheckpoint(eager=True)
-        frontier = member
         for _ in range(max_inner):
-            nxt = (
-                e_same.join(
-                    frontier.select("color", F.col("id").alias("from_")),
-                    ["color", "from_"],
-                )
-                .select("color", F.col("to_").alias("id"))
-                .distinct()
-                .join(member, ["color", "id"], "left_anti")
-                .localCheckpoint(eager=True)
+            nbr = (
+                e_rev.join(bcolor, e_rev.src == bcolor.id)
+                .groupBy("dst")
+                .agg(F.max("c").alias("nc"))
             )
-            if nxt.count() == 0:
+            new_b = (
+                bcolor.join(nbr, bcolor.id == nbr.dst, "left")
+                .select(
+                    "id",
+                    F.greatest(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c"),
+                )
+            )
+            parent = new_b.select(F.col("id").alias("p_id"), F.col("c").alias("p_c"))
+            new_b = (
+                new_b.join(parent, new_b.c.getField("n") == parent.p_id, "left")
+                .select(
+                    "id",
+                    F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
+                )
+                .persist()
+            )
+            n_changed = (
+                new_b.alias("nw")
+                .join(bcolor.alias("o"), "id")
+                .filter(F.col("nw.c") != F.col("o.c"))
+                .count()
+            )
+            new_b = new_b.localCheckpoint(eager=True)
+            bcolor = new_b
+            if n_changed == 0:
                 break
-            member = member.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        scc = member.select("id", F.col("color").alias("label"))
+        bcolor = bcolor.select("id", F.col("c").getField("n").alias("bcolor"))
+        cells = color.join(bcolor, "id").localCheckpoint(eager=True)
+        scc = cells.filter(F.col("color") == F.col("bcolor")).select(
+            "id", F.col("color").alias("label")
+        )
         assigned.append(scc.localCheckpoint(eager=True))
-        # ---- 3. peel
+        # ---- 3. peel + CUT: no SCC spans two (color, bcolor) cells (both
+        # signatures are constant on an SCC), so cross-cell edges can never
+        # be intra-SCC — dropping them is the CFP recursion step that makes
+        # the expected round count logarithmic. Without the cut, one giant
+        # reachability class re-forms every round and progress is O(1)
+        # pivots/round.
         active_v = active_v.join(scc.select("id"), "id", "left_anti").localCheckpoint(
             eager=True
         )
+        cs = cells.select(
+            F.col("id").alias("src"),
+            F.col("color").alias("f_s"),
+            F.col("bcolor").alias("b_s"),
+        )
+        cd = cells.select(
+            F.col("id").alias("dst"),
+            F.col("color").alias("f_d"),
+            F.col("bcolor").alias("b_d"),
+        )
         active_e = (
-            active_e.join(active_v.withColumnRenamed("id", "src"), "src", "left_semi")
+            active_e.join(cs, "src")
+            .join(cd, "dst")
+            .filter((F.col("f_s") == F.col("f_d")) & (F.col("b_s") == F.col("b_d")))
+            .select("src", "dst")
+            .join(active_v.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(active_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )

@@ -258,3 +258,73 @@ def local_max_matching(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
     if matched is None:
         return e.limit(0)
     return matched
+
+
+def algebraic_distance_edges(
+    graph: GraphDF, systems: int = 4, iterations: int = 10, omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """AlgebraicDistance (distance/AlgebraicDistance.cpp) as an edge
+    attributizer: D seeded test vectors in [0,1], smoothed
+        x' = (1−ω)·x + ω·(weighted neighbor mean)
+    for K iterations; distance(u,v) = max_d |x_u − x_v| over existing
+    edges. Seeded-hash init (the reference uses its RNG); one |E| join per
+    iteration carrying all D systems as columns."""
+    e = graph.E_sym.select("src", "dst", "weight")
+    e = e.repartition("src").sortWithinPartitions("src").persist()
+    e.count()
+    cols = [
+        (
+            F.pmod(F.abs(F.xxhash64("id", F.lit(seed), F.lit(d))), F.lit(1 << 40))
+            / F.lit(float(1 << 40))
+        ).alias(f"x{d}")
+        for d in range(systems)
+    ]
+    x = graph.V.select("id", *cols).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        nbr = (
+            e.join(x, e.src == x.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                *[
+                    (
+                        F.sum(F.col(f"x{d}") * F.col("weight"))
+                        / F.sum("weight")
+                    ).alias(f"m{d}")
+                    for d in range(systems)
+                ]
+            )
+        )
+        x = (
+            x.join(nbr, "id", "left")
+            .select(
+                "id",
+                *[
+                    (
+                        F.lit(1.0 - omega) * F.col(f"x{d}")
+                        + F.lit(omega)
+                        * F.coalesce(F.col(f"m{d}"), F.col(f"x{d}"))
+                    ).alias(f"x{d}")
+                    for d in range(systems)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    xs = x.select(
+        F.col("id").alias("src"), *[F.col(f"x{d}").alias(f"a{d}") for d in range(systems)]
+    )
+    xd = x.select(
+        F.col("id").alias("dst"), *[F.col(f"x{d}").alias(f"b{d}") for d in range(systems)]
+    )
+    canon = graph.E.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    out = canon.join(xs, "src").join(xd, "dst").select(
+        "src",
+        "dst",
+        F.greatest(
+            *[F.abs(F.col(f"a{d}") - F.col(f"b{d}")) for d in range(systems)]
+        ).alias("distance"),
+    )
+    e.unpersist()
+    return out

@@ -438,3 +438,85 @@ def dynamic_barabasi_events(
         F.lit(1.0).alias("w"),
     )
     return init_nodes.unionByName(cycle).unionByName(node_ev).unionByName(edge_ev)
+
+
+def hyperbolic_random(
+    spark: SparkSession, n: int, avg_degree: float = 6.0, alpha: float = 1.0,
+    seed: int = 42,
+) -> GraphDF:
+    """HyperbolicGenerator analog (generators/HyperbolicGenerator.hpp):
+    nodes at seeded-hash polar coordinates in a hyperbolic disk of radius
+    R (radial density ∝ e^{αr}), edge iff hyperbolic distance ≤ R —
+    native-scale-free degree distribution. R is set from avg_degree by the
+    standard 2·ln(8n/(π·k̄)) heuristic. O(n²) candidate filter — fixture
+    scale, like the reference's in-memory generator (its band optimization
+    is a constant-factor device, not a semantic)."""
+    import math as _m
+
+    R = 2.0 * _m.log(8.0 * n / (_m.pi * avg_degree))
+    pts = spark.range(n).select(
+        F.col("id").cast("long"),
+        (
+            F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(1))), F.lit(1 << 40))
+            / F.lit(float(1 << 40)) * F.lit(2.0 * _m.pi)
+        ).alias("theta"),
+        (
+            F.acosh(
+                1.0
+                + (F.cosh(F.lit(alpha * R)) - 1.0)
+                * (
+                    F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(2))), F.lit(1 << 40))
+                    / F.lit(float(1 << 40))
+                )
+            )
+            / F.lit(alpha)
+        ).alias("r"),
+    )
+    a = pts.select(
+        F.col("id").alias("src"), F.col("theta").alias("t1"), F.col("r").alias("r1")
+    )
+    b = pts.select(
+        F.col("id").alias("dst"), F.col("theta").alias("t2"), F.col("r").alias("r2")
+    )
+    pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    dtheta = F.lit(_m.pi) - F.abs(F.lit(_m.pi) - F.abs(F.col("t1") - F.col("t2")))
+    cosh_d = (
+        F.cosh("r1") * F.cosh("r2")
+        - F.sinh("r1") * F.sinh("r2") * F.cos(dtheta)
+    )
+    e = pairs.filter(cosh_d <= F.cosh(F.lit(R))).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def random_geometric(
+    spark: SparkSession, n: int, radius: float, seed: int = 42
+) -> GraphDF:
+    """PubWebGenerator analog: seeded-hash points on the unit torus,
+    edge iff torus distance ≤ radius. O(n²) candidate filter at fixture
+    scale (a cell-grid join is the scale path)."""
+    pts = spark.range(n).select(
+        F.col("id").cast("long"),
+        (
+            F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(1))), F.lit(1 << 40))
+            / F.lit(float(1 << 40))
+        ).alias("x"),
+        (
+            F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(2))), F.lit(1 << 40))
+            / F.lit(float(1 << 40))
+        ).alias("y"),
+    )
+    a = pts.select(F.col("id").alias("src"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("id").alias("dst"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    dx = F.abs(F.col("x1") - F.col("x2"))
+    dy = F.abs(F.col("y1") - F.col("y2"))
+    tdx = F.least(dx, 1.0 - dx)
+    tdy = F.least(dy, 1.0 - dy)
+    pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    e = pairs.filter(tdx * tdx + tdy * tdy <= F.lit(radius * radius)).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)

@@ -215,3 +215,35 @@ def test_dynamic_erdos_events_fold(spark):
     g = graph_from_events(spark, ev, directed=False)
     chk = g.check_consistency()
     assert chk["duplicate_edges"] == 0 and chk["invalid_weights"] == 0
+
+
+def test_hyperbolic_and_geometric_generators(spark):
+    from networkit_spark.sources.generators import hyperbolic_random, random_geometric
+
+    g = hyperbolic_random(spark, 150, avg_degree=6.0, seed=4)
+    assert g.number_of_nodes() == 150
+    m = g.number_of_edges()
+    assert 100 < m < 3000  # degree in a sane band around the target
+    deg = sorted((r["degree"] for r in g.degrees().collect()), reverse=True)
+    assert deg[0] >= 4 * max(deg[len(deg) // 2], 1)  # heavy head (scale-free-ish)
+    assert hyperbolic_random(spark, 150, avg_degree=6.0, seed=4).number_of_edges() == m
+
+    g2 = random_geometric(spark, 100, radius=0.12, seed=9)
+    # expected degree ≈ n·π·r² ≈ 4.5
+    avg = 2 * g2.number_of_edges() / 100
+    assert 1.0 < avg < 12.0
+
+
+def test_algebraic_distance_edges(spark):
+    from networkit_spark.operators.misc import algebraic_distance_edges
+
+    # two cliques + bridge: the bridge edge must have the LARGEST algebraic
+    # distance (smoothing homogenizes within clusters)
+    cl1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cl2 = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    g = GraphDF.from_edge_list(spark, cl1 + cl2 + [(4, 5)], num_nodes=10)
+    out = {(r["src"], r["dst"]): r["distance"]
+           for r in algebraic_distance_edges(g, systems=6, iterations=8).collect()}
+    bridge = out[(4, 5)]
+    intra = [d for k, d in out.items() if k != (4, 5)]
+    assert bridge > max(intra)

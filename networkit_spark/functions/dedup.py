@@ -186,11 +186,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 5000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): EXACT n-gram Jaccard over candidate pairs that
     share ≥1 shingle (inverted-index join — linear in postings, not n²).
-    |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|−|A∩B|."""
-    sh = shingles(df, text_col, id_col, k=k).persist()
+    |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|−|A∩B|.
+
+    Hot-shingle cap: a shingle appearing in d documents contributes d²/2
+    join rows, so one boilerplate shingle shared by 10^6 docs would blow
+    the inverted-index join up quadratically. Shingles with document
+    frequency > `max_shingle_df` are dropped from BOTH the intersection
+    join AND the per-doc sizes (i.e. Jaccard is computed exactly on the
+    filtered shingle space — the standard stop-shingle estimator; bias only
+    affects pairs whose overlap is dominated by corpus-wide boilerplate).
+    Pass None to disable."""
+    sh = shingles(df, text_col, id_col, k=k)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(
+                F.broadcast(dfreq.filter(F.col("_df") > max_shingle_df)),
+                "shingle",
+                "left_anti",
+            )
+        )
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")

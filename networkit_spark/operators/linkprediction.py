@@ -255,21 +255,29 @@ def katz_link_index(
 
 def precision_recall_points(scores: DataFrame, truth_pairs: DataFrame) -> DataFrame:
     """PrecisionRecallMetric.cpp:12-34 — (recall, precision) per score
-    threshold, keeping the LAST precision for duplicate recall values; one
-    window pass like roc_points."""
-    from pyspark.sql import Window
+    threshold, keeping the LAST precision for duplicate recall values.
 
-    labeled = scores.join(
-        truth_pairs.select("u", "v").withColumn("pos", F.lit(1)),
-        ["u", "v"],
-        "left",
-    ).select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
+    Cumulative counts over the descending-score order come from the
+    two-stage prefix_sums_multi (plans/ranking.py) — the scored-pair set is
+    O(Σd²), far too large for a single-partition window."""
+    from networkit_spark.plans.ranking import prefix_sums_multi
+
+    labeled = (
+        scores.join(
+            truth_pairs.select("u", "v").withColumn("pos", F.lit(1)),
+            ["u", "v"],
+            "left",
+        )
+        .select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
+        .withColumn("_neg", -F.col("score"))
+        .withColumn("_one", F.lit(1))
+    )
     p = labeled.agg(F.sum("pos")).collect()[0][0] or 0
-    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
-    pts = labeled.select(
-        F.row_number().over(Window.orderBy(F.desc("score"))).alias("i"),
-        F.sum("pos").over(w).alias("tp"),
-        (F.sum(1 - F.col("pos")).over(w)).alias("fp"),
+    cum = prefix_sums_multi(labeled, ["_neg"], ["pos", "_one"])
+    pts = cum.select(
+        F.col("cum__one").alias("i"),
+        F.col("cum_pos").alias("tp"),
+        (F.col("cum__one") - F.col("cum_pos")).alias("fp"),
     ).select(
         "i",
         (F.col("tp") / F.lit(max(p, 1))).alias("recall"),
@@ -300,24 +308,31 @@ def top_predictions(scores: DataFrame, k: int) -> DataFrame:
 
 def roc_points(scores: DataFrame, truth_pairs: DataFrame) -> DataFrame:
     """ROCMetric (linkprediction/ROCMetric.cpp analog): (fpr, tpr) at each
-    score threshold via window-ranked cumulative counts — a threshold sweep
-    as one window pass, no per-threshold scans."""
-    from pyspark.sql import Window
+    score threshold — one threshold sweep as cumulative counts over the
+    descending-score order, computed with the two-stage prefix_sums_multi
+    (plans/ranking.py) instead of a single-partition window (the scored-
+    pair set is O(Σd²))."""
+    from networkit_spark.plans.ranking import prefix_sums_multi
 
-    labeled = scores.join(
-        truth_pairs.select("u", "v").withColumn("pos", F.lit(1)),
-        ["u", "v"],
-        "left",
-    ).select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
+    labeled = (
+        scores.join(
+            truth_pairs.select("u", "v").withColumn("pos", F.lit(1)),
+            ["u", "v"],
+            "left",
+        )
+        .select("score", F.coalesce("pos", F.lit(0)).alias("pos"))
+        .withColumn("_neg", -F.col("score"))
+        .withColumn("_np", 1 - F.col("pos"))
+    )
     totals = labeled.agg(
-        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("n")
+        F.sum("pos").alias("p"), F.sum("_np").alias("n")
     ).collect()[0]
     p, n = totals["p"] or 0, totals["n"] or 0
-    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
-    return labeled.select(
+    cum = prefix_sums_multi(labeled, ["_neg"], ["pos", "_np"])
+    return cum.select(
         "score",
-        (F.sum("pos").over(w) / F.lit(max(p, 1))).alias("tpr"),
-        (F.sum(1 - F.col("pos")).over(w) / F.lit(max(n, 1))).alias("fpr"),
+        (F.col("cum_pos") / F.lit(max(p, 1))).alias("tpr"),
+        (F.col("cum__np") / F.lit(max(n, 1))).alias("fpr"),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import GraphDF
+from networkit_spark.plans.ranking import global_row_numbers
 
 
 def degree_preserving_shuffle(graph: GraphDF, seed: int = 42) -> GraphDF:
@@ -82,8 +83,10 @@ def global_curveball(
             F.when(own_src, F.col("dst")).otherwise(F.col("src")).alias("t"),
         )
         # ---- 2. seeded perfect matching: hash-sort nodes, pair 2i/2i+1
-        wh = Window.orderBy(F.xxhash64("id", F.lit(seed), F.lit(r)), "id")
-        perm = v.withColumn("pos", F.row_number().over(wh) - F.lit(1))
+        # (two-stage scale-safe global rank on the hash key — no |V|-row
+        # single-partition window per round; plans/ranking.py)
+        hashed = v.withColumn("_h", F.xxhash64("id", F.lit(seed), F.lit(r)))
+        perm = global_row_numbers(hashed, ["_h", "id"], out_col="pos").drop("_h")
         pairs = perm.select(
             "id",
             (F.col("pos") / 2).cast("long").alias("pair"),

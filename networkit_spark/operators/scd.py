@@ -98,7 +98,12 @@ def conductance_sweep(
     ONE pass — no per-k scans.
     """
     deg = graph.degrees()
-    ranked = (
+    # top-`max_size` via orderBy().limit() — Spark's distributed
+    # TakeOrdered — BEFORE any window: global-power-iteration PPR gives all
+    # reachable nodes positive score, so ranking the full positive set in a
+    # single-partition window would hold ~|V| rows in one task. The window
+    # below runs on ≤ max_size rows (a bounded constant).
+    top = (
         scores.join(deg, "id")
         .filter(F.col("score") > 0)
         .select(
@@ -106,13 +111,13 @@ def conductance_sweep(
             "degree",
             (F.col("score") / F.greatest("degree", F.lit(1))).alias("key"),
         )
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.orderBy(F.desc("key"), F.asc("id"))),
-        )
-        .filter(F.col("pos") <= max_size)
-        .persist()
+        .orderBy(F.desc("key"), F.asc("id"))
+        .limit(max_size)
     )
+    ranked = top.withColumn(
+        "pos",
+        F.row_number().over(Window.orderBy(F.desc("key"), F.asc("id"))),
+    ).persist()
     e = graph.E_sym.filter("src != dst").select("src", "dst")
     pos_src = ranked.select(F.col("id").alias("src"), F.col("pos").alias("p_src"))
     pos_dst = ranked.select(F.col("id").alias("dst"), F.col("pos").alias("p_dst"))

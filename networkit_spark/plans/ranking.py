@@ -114,6 +114,62 @@ def prefix_sums(
     )
 
 
+def prefix_sums_multi(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    out_prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the INCLUSIVE running sum of each `value_cols` entry in
+    `order_cols` order — the scale-safe `SUM(v) OVER (ORDER BY ...)` for
+    several measures in ONE two-stage pass (used by the ROC / precision-
+    recall threshold sweeps, whose input is the O(Σd²) candidate-pair set —
+    far too big for a single-partition window)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part
+    for vc in value_cols:
+        local = local.withColumn(f"_run_{vc}", F.sum(vc).over(w))
+    local = local.persist()
+    totals = (
+        local.groupBy("_pid")
+        .agg(*[F.sum(vc).alias(f"_tot_{vc}") for vc in value_cols])
+        .orderBy("_pid")
+        .collect()
+    )  # ≤ num_partitions rows: partition METADATA, not data
+    offsets = []
+    acc = {vc: 0.0 for vc in value_cols}
+    for r in totals:
+        offsets.append((r["_pid"], *[float(acc[vc]) for vc in value_cols]))
+        for vc in value_cols:
+            acc[vc] += float(r[f"_tot_{vc}"] or 0)
+    if not offsets:
+        out = df
+        for vc in value_cols:
+            out = out.withColumn(out_prefix + vc, F.lit(0.0))
+        return out.limit(0)
+    schema = "_pid int, " + ", ".join(f"_off_{vc} double" for vc in value_cols)
+    off_df = F.broadcast(spark.createDataFrame(offsets, schema))
+    out = local.join(off_df, "_pid")
+    for vc in value_cols:
+        out = out.withColumn(out_prefix + vc, F.col(f"_off_{vc}") + F.col(f"_run_{vc}"))
+    drop = ["_pid"]
+    drop += [f"_run_{vc}" for vc in value_cols]
+    drop += [f"_off_{vc}" for vc in value_cols]
+    return out.drop(*drop)
+
+
 def dense_rank_of_distinct(
     df: DataFrame,
     value_col: str,

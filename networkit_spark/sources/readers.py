@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import GraphDF
+from networkit_spark.plans.ranking import global_row_numbers
 
 
 def read_edge_list(
@@ -43,14 +44,14 @@ def read_edge_list(
             ).alias("weight"),
         )
         return GraphDF.from_edges(e, directed=directed, weighted=weighted)
-    # string keys → minted ids
+    # string keys → minted ids (two-stage scale-safe rank, no single-
+    # partition window — plans/ranking.py)
     keys = (
         df.select(F.col(cols[0]).alias("k"))
         .union(df.select(F.col(cols[1]).alias("k")))
         .distinct()
     )
-    w = Window.orderBy("k")
-    mapping = keys.withColumn("id", (F.dense_rank().over(w) - F.lit(1)).cast("long"))
+    mapping = global_row_numbers(keys, ["k"], out_col="id")
     e = (
         df.join(mapping.select(F.col("k").alias(cols[0]), F.col("id").alias("src")), cols[0])
         .join(mapping.select(F.col("k").alias(cols[1]), F.col("id").alias("dst")), cols[1])
@@ -96,8 +97,7 @@ def read_snap(
         .union(df.select(F.col("raw_dst").alias("k")))
         .distinct()
     )
-    w = Window.orderBy("k")
-    mapping = keys.withColumn("id", (F.dense_rank().over(w) - F.lit(1)).cast("long"))
+    mapping = global_row_numbers(keys, ["k"], out_col="id")
     e = (
         df.join(mapping.select(F.col("k").alias("raw_src"), F.col("id").alias("src")), "raw_src")
         .join(mapping.select(F.col("k").alias("raw_dst"), F.col("id").alias("dst")), "raw_dst")

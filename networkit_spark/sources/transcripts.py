@@ -169,18 +169,24 @@ def reply_pairs(transcripts: DataFrame) -> DataFrame:
 
 
 def mint_ids(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Mint long node ids with dense_rank over sorted entity keys (FIXTURES
-    §2); agents and tools share one dictionary. Returns (vertices(id,
-    entity_key), edges(src,dst,weight))."""
+    """Mint long node ids = dense rank of sorted entity keys (FIXTURES §2);
+    agents and tools share one dictionary. Returns (vertices(id,
+    entity_key), edges(src,dst,weight)).
+
+    The rank is the two-stage scale-safe global_row_numbers (range-
+    repartition + per-partition row_number + broadcast offsets), NOT a
+    single-partition `Window.orderBy` — this is the input layer, the one
+    path guaranteed to see the full 10^12-turn entity dictionary."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
     entities = (
         pairs.select(F.col("agent_key").alias("entity_key"))
         .union(pairs.select(F.col("tool_key").alias("entity_key")))
         .distinct()
     )
-    w = Window.orderBy("entity_key")
-    vertices = entities.withColumn(
-        "id", (F.dense_rank().over(w) - F.lit(1)).cast("long")
-    ).select("id", "entity_key")
+    vertices = global_row_numbers(entities, ["entity_key"], out_col="id").select(
+        "id", "entity_key"
+    )
     src_map = vertices.select(
         F.col("entity_key").alias("agent_key"), F.col("id").alias("src")
     )

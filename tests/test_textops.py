@@ -60,6 +60,27 @@ def test_shingles_and_jaccard(spark):
     assert 0.0 < pairs[(0, 2)] < 1.0
 
 
+def test_ngram_hot_shingle_cap_bounds_join(spark):
+    """VERDICT r2 #4: one boilerplate shingle shared by k docs must NOT
+    produce a k²/2 candidate join. With the document-frequency cap, pairs
+    whose only overlap is corpus-wide boilerplate never reach the join;
+    genuinely near-duplicate pairs survive."""
+    boiler = "standard corporate disclaimer applies to this message body"
+    rows = [(i, f"{boiler} unique tail {i} alpha {i} beta {i}") for i in range(40)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog today"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_shingle_df=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # boilerplate-only pairs gone: candidate count is linear, not 40²/2
+    assert len(pairs) <= 5
+    assert (100, 101) in pairs  # true near-dups survive the cap
+
+    uncapped = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_shingle_df=None)
+    assert uncapped.count() >= 40 * 39 / 2  # quadratic without the cap
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     docs = _docs(spark)
     sigs = minhash_signatures(docs, num_hashes=16, shingle_k=2)

@@ -86,6 +86,78 @@ def bfs_from(graph: GraphDF, source: int) -> DataFrame:
     return graph.V.join(d.select("id", "dist"), "id", "left")
 
 
+def bidirectional_bfs(
+    graph: GraphDF, source: int, target: int, max_depth: int = 10_000
+) -> int | None:
+    """BidirectionalBFS (distance/BidirectionalBFS.cpp:16-100): point-to-
+    point hop distance by growing two balls — forward from `source`,
+    backward from `target` (reverse edges when directed) — always expanding
+    the SMALLER frontier, stopping when the balls provably can't improve:
+    best ≤ ds_max + dt_max. Each ball is O(ball size) state instead of a
+    full SSSP; the meeting test is an equi-join of the two visited sets.
+    Returns the distance, or None if unreachable."""
+    if source == target:
+        return 0
+    spark = graph.V.sparkSession
+    fwd = (graph.E if graph.directed else graph.E_sym).select("src", "dst").distinct()
+    bwd = (
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if graph.directed
+        else fwd
+    )
+    fwd = fwd.repartition("src").sortWithinPartitions("src").persist()
+    bwd = bwd if not graph.directed else bwd.repartition("src").sortWithinPartitions("src").persist()
+
+    def mk(node):
+        return spark.createDataFrame([(int(node), 0)], "id long, dist long").localCheckpoint(
+            eager=True
+        )
+
+    vis_s, vis_t = mk(source), mk(target)
+    frontier_s, frontier_t = vis_s, vis_t
+    d_s = d_t = 0
+    best = None
+    while d_s + d_t < max_depth:
+        meet = (
+            vis_s.select("id", F.col("dist").alias("ds"))
+            .join(vis_t.select("id", F.col("dist").alias("dt")), "id")
+            .agg(F.min(F.col("ds") + F.col("dt")))
+            .collect()[0][0]
+        )
+        if meet is not None:
+            best = int(meet) if best is None else min(best, int(meet))
+        if best is not None and d_s + d_t >= best:
+            break
+        cs, ct = frontier_s.count(), frontier_t.count()
+        if cs == 0 and ct == 0:
+            break
+        expand_s = ct == 0 or (cs != 0 and cs <= ct)
+        edges = fwd if expand_s else bwd
+        vis, frontier = (vis_s, frontier_s) if expand_s else (vis_t, frontier_t)
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(vis.select("id"), "id", "left_anti")
+        )
+        if expand_s:
+            d_s += 1
+            frontier_s = nxt.withColumn("dist", F.lit(d_s).cast("long")).localCheckpoint(
+                eager=True
+            )
+            vis_s = vis_s.unionByName(frontier_s).localCheckpoint(eager=True)
+        else:
+            d_t += 1
+            frontier_t = nxt.withColumn("dist", F.lit(d_t).cast("long")).localCheckpoint(
+                eager=True
+            )
+            vis_t = vis_t.unionByName(frontier_t).localCheckpoint(eager=True)
+    fwd.unpersist()
+    if graph.directed:
+        bwd.unpersist()
+    return best
+
+
 def sssp_distances(
     graph: GraphDF, source: int, max_iterations: int = 10_000
 ) -> DataFrame:

@@ -132,6 +132,19 @@ def top_closeness(graph: GraphDF, k: int, n_chunks: int = 1) -> DataFrame:
     )
 
 
+def top_harmonic_closeness(graph: GraphDF, k: int, n_chunks: int = 1) -> DataFrame:
+    """TopHarmonicCloseness (centrality/TopHarmonicCloseness.cpp analog):
+    the k nodes of highest harmonic closeness — exact evaluation + Spark's
+    distributed TakeOrdered; the reference's BFS-cut bounds are a pruning
+    optimization, not a semantic. Unnormalized scores like the reference
+    (TopHarmonicCloseness.cpp uses raw Σ 1/d)."""
+    return (
+        harmonic_closeness(graph, normalized=False, n_chunks=n_chunks)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def approx_closeness(
     graph: GraphDF, n_samples: int = 64, seed: int = 42, normalized: bool = True
 ) -> DataFrame:

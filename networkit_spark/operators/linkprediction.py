@@ -65,6 +65,28 @@ def jaccard_index(graph: GraphDF) -> DataFrame:
     )
 
 
+def neighborhood_distance_index(graph: GraphDF) -> DataFrame:
+    """NeighborhoodDistanceIndex (linkprediction/
+    NeighborhoodDistanceIndex.hpp:30-35): |N(u)∩N(v)| / √(deg(u)·deg(v)) —
+    cosine similarity of the neighborhood indicator vectors. Same two-hop
+    self-join base as the other indices."""
+    pairs = two_hop_pairs(graph)
+    deg = _neighbors(graph).groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            (F.col("common") / F.sqrt(F.col("du") * F.col("dv"))).alias("score"),
+        )
+    )
+
+
 def adamic_adar_index(graph: GraphDF) -> DataFrame:
     """AdamicAdarIndex (linkprediction/AdamicAdarIndex.cpp):
     Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))."""

@@ -76,13 +76,7 @@ def global_curveball(
     )
     v = graph.V.select("id").localCheckpoint(eager=True)
     for r in range(rounds):
-        # ---- 1. unique ownership orientation
-        own_src = F.pmod(F.xxhash64("src", "dst", F.lit(seed + 101), F.lit(r)), F.lit(2)) == 0
-        owned = e.select(
-            F.when(own_src, F.col("src")).otherwise(F.col("dst")).alias("o"),
-            F.when(own_src, F.col("dst")).otherwise(F.col("src")).alias("t"),
-        )
-        # ---- 2. seeded perfect matching: hash-sort nodes, pair 2i/2i+1
+        # ---- seeded perfect matching: hash-sort nodes, pair 2i/2i+1
         # (two-stage scale-safe global rank on the hash key — no |V|-row
         # single-partition window per round; plans/ranking.py)
         hashed = v.withColumn("_h", F.xxhash64("id", F.lit(seed), F.lit(r)))
@@ -96,86 +90,178 @@ def global_curveball(
             F.max(F.when(F.col("side") == 0, F.col("id"))).alias("u"),
             F.max(F.when(F.col("side") == 1, F.col("id"))).alias("v"),
         ).filter(F.col("v").isNotNull())
-        # ---- 3. pools with full-neighborhood exclusion
-        inc = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
-            e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        e = _trade_round(e, members, seed, r)
+    return GraphDF(
+        graph.V,
+        e.withColumn("weight", F.lit(1.0)),
+        directed=False,
+        weighted=False,
+    )
+
+
+def _trade_round(e, members, seed: int, r: int):
+    """One batch of simultaneous disjoint trades over the canonical edge
+    table `e` (src<dst, no self-loops). `members` = (pair, u, v) with every
+    node in at most one pair. Returns the new edge table, localCheckpointed.
+
+    Shared by global_curveball (members = a random perfect matching) and
+    curveball (members = a batch of user/generator trades)."""
+    # ---- 1. unique ownership orientation
+    own_src = F.pmod(F.xxhash64("src", "dst", F.lit(seed + 101), F.lit(r)), F.lit(2)) == 0
+    owned = e.select(
+        F.when(own_src, F.col("src")).otherwise(F.col("dst")).alias("o"),
+        F.when(own_src, F.col("dst")).otherwise(F.col("src")).alias("t"),
+    )
+    # ---- 3. pools with full-neighborhood exclusion
+    inc = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
+        e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+    )
+    o_u = owned.join(
+        members.select(F.col("u").alias("o"), "pair", "v"), "o"
+    )  # edges owned by a side-0 member: (o=u, t, pair, v)
+    a_pool = o_u.join(
+        inc.select(F.col("id").alias("v"), F.col("nbr").alias("t")),
+        ["v", "t"],
+        "left_anti",
+    ).filter(F.col("t") != F.col("v")).select(
+        "pair", F.lit(0).alias("from_side"), F.col("t").alias("nbr")
+    )
+    o_v = owned.join(
+        members.select(F.col("v").alias("o"), "pair", "u"), "o"
+    )
+    b_pool = o_v.join(
+        inc.select(F.col("id").alias("u"), F.col("nbr").alias("t")),
+        ["u", "t"],
+        "left_anti",
+    ).filter(F.col("t") != F.col("u")).select(
+        "pair", F.lit(1).alias("from_side"), F.col("t").alias("nbr")
+    )
+    pool = a_pool.unionByName(b_pool)
+    wcnt = Window.partitionBy("pair")
+    wshuf = Window.partitionBy("pair").orderBy(
+        F.xxhash64("nbr", F.lit(seed + 13), F.lit(r)), "nbr"
+    )
+    redist = pool.withColumn(
+        "a_cnt", F.sum(F.when(F.col("from_side") == 0, 1).otherwise(0)).over(wcnt)
+    ).withColumn("rk", F.row_number().over(wshuf))
+    traded_new = redist.join(members, "pair").select(
+        "pair",
+        F.when(F.col("rk") <= F.col("a_cnt"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("a"),
+        F.col("nbr").alias("b"),
+    ).select(
+        "pair",
+        F.least("a", "b").alias("src"),
+        F.greatest("a", "b").alias("dst"),
+    )
+    traded_old = a_pool.join(members, "pair").select(
+        "pair", F.col("u").alias("a"), F.col("nbr").alias("b")
+    ).unionByName(
+        b_pool.join(members, "pair").select(
+            "pair", F.col("v").alias("a"), F.col("nbr").alias("b")
         )
-        o_u = owned.join(
-            members.select(F.col("u").alias("o"), "pair", "v"), "o"
-        )  # edges owned by a side-0 member: (o=u, t, pair, v)
-        a_pool = o_u.join(
-            inc.select(F.col("id").alias("v"), F.col("nbr").alias("t")),
-            ["v", "t"],
-            "left_anti",
-        ).filter(F.col("t") != F.col("v")).select(
-            "pair", F.lit(0).alias("from_side"), F.col("t").alias("nbr")
+    ).select(
+        "pair",
+        F.least("a", "b").alias("src"),
+        F.greatest("a", "b").alias("dst"),
+    )
+    kept = e.join(traded_old.select("src", "dst"), ["src", "dst"], "left_anti")
+    # ---- collision repair: two independent trades (or a trade and a
+    # kept edge) can produce the same edge; revert the involved TRADES
+    # atomically (a pair's originals come back whole — degree-exact, and
+    # reverted originals can never equal a surviving new edge, since new
+    # edges are non-adjacent pairs of the old graph)
+    cand = kept.select("src", "dst").withColumn(
+        "pair", F.lit(None).cast("long")
+    ).unionByName(traded_new)
+    dups = (
+        cand.groupBy("src", "dst").agg(F.count("*").alias("c"))
+        .filter("c > 1")
+        .select("src", "dst")
+    )
+    bad_pairs = (
+        traded_new.join(dups, ["src", "dst"], "left_semi")
+        .select("pair")
+        .distinct()
+    )
+    surviving = traded_new.join(bad_pairs, "pair", "left_anti")
+    reverted = traded_old.join(bad_pairs, "pair", "left_semi")
+    return (
+        kept.unionByName(surviving.select("src", "dst"))
+        .unionByName(reverted.select("src", "dst"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def curveball_uniform_trades(
+    graph: GraphDF, n_trades: int, seed: int = 42
+) -> list[tuple[int, int]]:
+    """CurveballUniformTradeGenerator.cpp: `n_trades` uniform node pairs.
+    Seeded-hash sampling with replacement over V (2·n_trades sample rows —
+    a ≤k-sample collect, never the vertex set)."""
+    picks = (
+        graph.V.select("id")
+        .orderBy(F.xxhash64("id", F.lit(seed + 7)), "id")
+        .limit(2 * n_trades)
+        .collect()
+    )
+    ids = [r["id"] for r in picks]
+    if len(ids) < 2:
+        return []
+    trades = []
+    for i in range(n_trades):
+        u = ids[(2 * i) % len(ids)]
+        v = ids[(2 * i + 1) % len(ids)]
+        if u != v:
+            trades.append((u, v))
+    return trades
+
+
+def curveball(
+    graph: GraphDF, trades: list[tuple[int, int]], seed: int = 42
+) -> GraphDF:
+    """Curveball.cpp / CurveballImpl.cpp (Carstens et al. single trades):
+    run the given trade sequence over an undirected self-loop-free graph.
+
+    The trade list is processed in PREFIX BATCHES of pairwise-disjoint
+    trades: consecutive trades touching disjoint node sets commute, so
+    executing each batch simultaneously (one _trade_round) is exactly the
+    reference's sequential semantics — same trade count, same null-model
+    guarantee (every node's degree preserved). Trade outcomes are
+    seeded-hash deterministic (the reference draws from its global RNG;
+    outputs differ run to run even in C++ — the degree-sequence invariant
+    is the contract, as with global_curveball)."""
+    if graph.directed:
+        raise ValueError("curveball requires an undirected graph")
+    e = (
+        graph.E.filter("src != dst")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
         )
-        o_v = owned.join(
-            members.select(F.col("v").alias("o"), "pair", "u"), "o"
+        .localCheckpoint(eager=True)
+    )
+    spark = graph.V.sparkSession
+    batches: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    used: set[int] = set()
+    for u, v in trades:
+        if u == v:
+            continue
+        if u in used or v in used:
+            batches.append(cur)
+            cur, used = [], set()
+        cur.append((int(u), int(v)))
+        used.update((u, v))
+    if cur:
+        batches.append(cur)
+    for r, batch in enumerate(batches):
+        members = spark.createDataFrame(
+            [(i, u, v) for i, (u, v) in enumerate(batch)],
+            "pair long, u long, v long",
         )
-        b_pool = o_v.join(
-            inc.select(F.col("id").alias("u"), F.col("nbr").alias("t")),
-            ["u", "t"],
-            "left_anti",
-        ).filter(F.col("t") != F.col("u")).select(
-            "pair", F.lit(1).alias("from_side"), F.col("t").alias("nbr")
-        )
-        pool = a_pool.unionByName(b_pool)
-        wcnt = Window.partitionBy("pair")
-        wshuf = Window.partitionBy("pair").orderBy(
-            F.xxhash64("nbr", F.lit(seed + 13), F.lit(r)), "nbr"
-        )
-        redist = pool.withColumn(
-            "a_cnt", F.sum(F.when(F.col("from_side") == 0, 1).otherwise(0)).over(wcnt)
-        ).withColumn("rk", F.row_number().over(wshuf))
-        traded_new = redist.join(members, "pair").select(
-            "pair",
-            F.when(F.col("rk") <= F.col("a_cnt"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("a"),
-            F.col("nbr").alias("b"),
-        ).select(
-            "pair",
-            F.least("a", "b").alias("src"),
-            F.greatest("a", "b").alias("dst"),
-        )
-        traded_old = a_pool.join(members, "pair").select(
-            "pair", F.col("u").alias("a"), F.col("nbr").alias("b")
-        ).unionByName(
-            b_pool.join(members, "pair").select(
-                "pair", F.col("v").alias("a"), F.col("nbr").alias("b")
-            )
-        ).select(
-            "pair",
-            F.least("a", "b").alias("src"),
-            F.greatest("a", "b").alias("dst"),
-        )
-        kept = e.join(traded_old.select("src", "dst"), ["src", "dst"], "left_anti")
-        # ---- collision repair: two independent trades (or a trade and a
-        # kept edge) can produce the same edge; revert the involved TRADES
-        # atomically (a pair's originals come back whole — degree-exact, and
-        # reverted originals can never equal a surviving new edge, since new
-        # edges are non-adjacent pairs of the old graph)
-        cand = kept.select("src", "dst").withColumn(
-            "pair", F.lit(None).cast("long")
-        ).unionByName(traded_new)
-        dups = (
-            cand.groupBy("src", "dst").agg(F.count("*").alias("c"))
-            .filter("c > 1")
-            .select("src", "dst")
-        )
-        bad_pairs = (
-            traded_new.join(dups, ["src", "dst"], "left_semi")
-            .select("pair")
-            .distinct()
-        )
-        surviving = traded_new.join(bad_pairs, "pair", "left_anti")
-        reverted = traded_old.join(bad_pairs, "pair", "left_semi")
-        e = (
-            kept.unionByName(surviving.select("src", "dst"))
-            .unionByName(reverted.select("src", "dst"))
-            .localCheckpoint(eager=True)
-        )
+        e = _trade_round(e, members, seed, r)
     return GraphDF(
         graph.V,
         e.withColumn("weight", F.lit(1.0)),

@@ -73,6 +73,88 @@ def local_degree_score(graph: GraphDF) -> DataFrame:
     return canon.groupBy("src", "dst").agg(F.max("s").alias("score"))
 
 
+def local_filter_score(
+    graph: GraphDF, scores: DataFrame, logarithmic: bool = True
+) -> DataFrame:
+    """LocalFilterScore (sparsification/LocalFilterScore.hpp:42-100): per
+    node, rank incident edges by the input attribute DESCENDING with
+    competition ranking (equal attributes share the min rank — the
+    reference's rank += numSame loop); each edge's minimum sparsification
+    exponent from that endpoint is
+        e = 1 − log(rank)/log(d)        (logarithmic)
+        e = 1 − (rank−1)/(d−1)          (linear)
+    (e = 1 when d ≤ 1); final score = max over both endpoints. Windows are
+    PARTITIONED by node — no global exchange."""
+    inc = scores.select(
+        F.col("src").alias("i"), "src", "dst", F.col("score").alias("attr")
+    ).unionByName(
+        scores.select(F.col("dst").alias("i"), "src", "dst", F.col("score").alias("attr"))
+    )
+    nb = graph.E_sym.filter("src != dst").select("src", "dst").distinct()
+    deg = nb.groupBy(F.col("src").alias("i")).agg(F.count("*").alias("d"))
+    w = Window.partitionBy("i").orderBy(F.desc("attr"))
+    ranked = inc.withColumn("rank", F.rank().over(w)).join(deg, "i")
+    if logarithmic:
+        e = F.when(F.col("d") <= 1, F.lit(1.0)).otherwise(
+            1.0 - F.log(F.col("rank").cast("double")) / F.log(F.col("d").cast("double"))
+        )
+    else:
+        e = F.when(F.col("d") <= 1, F.lit(1.0)).otherwise(
+            1.0 - (F.col("rank") - 1).cast("double") / (F.col("d") - 1).cast("double")
+        )
+    return (
+        ranked.select("src", "dst", e.alias("e"))
+        .groupBy("src", "dst")
+        .agg(F.max("e").alias("score"))
+    )
+
+
+def random_node_edge_score(
+    graph: GraphDF, rne_ratio: float = 0.8, seed: int = 42
+) -> DataFrame:
+    """RandomNodeEdgeScore (sparsification/RandomNodeEdgeScore.cpp:17-66):
+    score = normalized removal position under a random process mixing
+    uniform-edge picks (prob 1−rneRatio) with node-then-incident-edge picks
+    (prob rneRatio) — the latter removes low-degree nodes' edges earlier.
+
+    The reference draws from its global RNG (nondeterministic run to run);
+    here the process is the seeded continuous-time analog: each edge gets an
+    exponential removal clock with STATIC rate
+        r(e) ∝ (1−ratio)/m + ratio·(1/deg(u) + 1/deg(v))/(2n)
+    and t(e) = −ln(U_e)/r(e) with U_e a seeded-hash uniform; the score is
+    the removal rank normalized to [0,1) via the two-stage global rank
+    (plans/ranking.py — no single-partition window). The null-model
+    property tests pin (uniform marginals, low-degree-early bias), not the
+    reference's RNG stream."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    canon = graph.E.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    nb = graph.E_sym.filter("src != dst").select("src", "dst").distinct()
+    deg = nb.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    m = canon.count()
+    n = graph.number_of_nodes()
+    e = (
+        canon.join(deg.select(F.col("id").alias("src"), F.col("d").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dv")), "dst")
+    )
+    u01 = (
+        F.pmod(F.abs(F.xxhash64("src", "dst", F.lit(seed))), F.lit(1 << 40))
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 40))
+    rate = (
+        F.lit((1.0 - rne_ratio) / max(m, 1))
+        + F.lit(rne_ratio / (2.0 * max(n, 1)))
+        * (1.0 / F.col("du") + 1.0 / F.col("dv"))
+    )
+    timed = e.select("src", "dst", (-F.log(u01) / rate).alias("t"))
+    ranked = global_row_numbers(timed, ["t", "src", "dst"], out_col="pos")
+    return ranked.select(
+        "src", "dst", (F.col("pos") / F.lit(float(max(m, 1)))).alias("score")
+    )
+
+
 def edge_score_as_weight(graph: GraphDF, scores: DataFrame) -> GraphDF:
     """EdgeScoreAsWeight (edgescores/EdgeScoreAsWeight.cpp): replace weights
     by scores."""

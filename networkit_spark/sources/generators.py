@@ -520,3 +520,183 @@ def random_geometric(
     )
     v = spark.range(n).select(F.col("id").cast("long"))
     return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def _hh_edges_local(ids, degs):
+    """Greedy Havel-Hakimi over (ids, degs) with best-effort degradation
+    (non-graphical residue is dropped, like the reference's warning path —
+    LFRGenerator.cpp realizes intra-community sequences the same way).
+    Pure python over ONE community's nodes: called per applyInPandas group,
+    so the working set is a single community, never the graph."""
+    remaining = sorted(zip((int(d) for d in degs), (int(i) for i in ids)), reverse=True)
+    edges = []
+    while remaining:
+        remaining.sort(reverse=True)
+        d, u = remaining[0]
+        if d <= 0:
+            break
+        rest = remaining[1:]
+        take = min(d, len(rest))
+        for j in range(take):
+            dv, v = rest[j]
+            if dv <= 0:
+                break
+            edges.append((min(u, v), max(u, v)))
+            rest[j] = (dv - 1, v)
+        remaining = rest
+    return edges
+
+
+def lfr(
+    spark: SparkSession,
+    n: int,
+    avg_degree: int = 10,
+    max_degree: int = 50,
+    gamma: float = 2.5,
+    beta: float = 1.5,
+    mu: float = 0.2,
+    min_community: int = 20,
+    max_community: int = 100,
+    seed: int = 42,
+) -> tuple[GraphDF, DataFrame]:
+    """LFRGenerator (generators/LFRGenerator.cpp; Lancichinetti-Fortunato-
+    Radicchi benchmark): power-law degrees (exponent `gamma`), power-law
+    community sizes (exponent `beta`), per-node mixing `mu` (fraction of
+    degree leaving the community). Returns (graph, planted_partition(id,
+    label)) — the standard community-detection benchmark input.
+
+    Distributed construction (the reference is an in-memory realize-and-
+    rewire loop; this is the Spark-shaped equivalent):
+      1. degrees: inverse-CDF power-law per node (hash uniform, column
+         expression over spark.range — embarrassingly parallel),
+      2. community sizes: driver-side power-law list (k ≈ n/⟨s⟩ communities
+         — METADATA, not data), broadcast as [lo, hi) position ranges,
+      3. assignment: nodes ranked by degree DESC via the two-stage global
+         rank, range-joined into communities sorted by size DESC — big
+         nodes land in big communities (the reference's feasibility
+         constraint d_int < |C|, enforced by capping),
+      4. intra-community edges: per-community Havel-Hakimi on the internal
+         degrees (1−mu)·d via applyInPandas — one community per group, the
+         community is the unit of locality (fits one executor by the
+         max_community bound),
+      5. inter-community edges: configuration-model pairing of external
+         stubs — hash-shuffled two-stage global rank, stub 2i ↔ 2i+1;
+         self-pairs / duplicate pairs / same-community pairs dropped
+         (the reference rewires them; the drop bias is O(mu²/k) and the
+         mixing invariant is asserted in tests).
+    No single-partition window anywhere; every per-node step is a column
+    expression or a partitioned window."""
+    import pandas as pd
+
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    # ---- 1. power-law degree sequence (inverse CDF, truncated)
+    dmin = max(2, int(round(avg_degree / 2)))
+    u01 = (
+        F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(11))), F.lit(1 << 40))
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 40) + 1))
+    raw_deg = F.least(
+        F.lit(max_degree),
+        F.round(F.lit(dmin) * F.pow(F.lit(1.0) - u01, F.lit(-1.0 / (gamma - 1.0)))).cast(
+            "long"
+        ),
+    )
+    nodes = spark.range(n).select(F.col("id").cast("long"), raw_deg.alias("deg"))
+
+    # ---- 2. community sizes (driver-side metadata: k ≈ n/⟨s⟩ rows)
+    import hashlib
+
+    sizes = []
+    total = 0
+    i = 0
+    while total < n:
+        h = int.from_bytes(
+            hashlib.sha256(f"lfr-size-{seed}-{i}".encode()).digest()[:6], "big"
+        )
+        u = (h + 1) / float((1 << 48) + 1)
+        s = int(round(min_community * (1.0 - u) ** (-1.0 / (beta - 1.0))))
+        s = min(max(s, min_community), max_community)
+        sizes.append(s)
+        total += s
+        i += 1
+    sizes[-1] -= total - n  # trim the last community to hit n exactly
+    if sizes[-1] < 2 and len(sizes) > 1:
+        sizes[-2] += sizes[-1]
+        sizes.pop()
+    sizes.sort(reverse=True)
+    ranges = []
+    lo = 0
+    for label, s in enumerate(sizes):
+        ranges.append((label, lo, lo + s, s))
+        lo += s
+    rdf = F.broadcast(
+        spark.createDataFrame(ranges, "label long, lo long, hi long, csize long")
+    )
+
+    # ---- 3. degree-rank assignment into size-sorted communities
+    ranked = global_row_numbers(nodes, ["deg", "id"], out_col="neg_pos")
+    # global_row_numbers ranks ASC; invert for degree-DESC position
+    ranked = ranked.withColumn("pos", F.lit(n - 1) - F.col("neg_pos")).drop("neg_pos")
+    assigned = ranked.join(
+        rdf, (F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi"))
+    ).select("id", "deg", "label", "csize")
+    d_int = F.least(
+        F.round(F.col("deg") * F.lit(1.0 - mu)).cast("long"), F.col("csize") - 1
+    )
+    assigned = assigned.select(
+        "id",
+        "deg",
+        "label",
+        d_int.alias("d_int"),
+        (F.col("deg") - d_int).alias("d_ext"),
+    ).persist()
+
+    # ---- 4. intra-community Havel-Hakimi (one group = one community)
+    def _realize(pdf: pd.DataFrame) -> pd.DataFrame:
+        degs = list(pdf["d_int"])
+        if sum(degs) % 2 == 1:  # make the sum even (reference drops a stub)
+            j = max(range(len(degs)), key=lambda x: degs[x])
+            degs[j] -= 1
+        edges = _hh_edges_local(list(pdf["id"]), degs)
+        return pd.DataFrame(edges, columns=["src", "dst"], dtype="int64")
+
+    intra = assigned.groupBy("label").applyInPandas(
+        _realize, "src long, dst long"
+    )
+
+    # ---- 5. external stubs → configuration-model pairing
+    stubs = assigned.filter(F.col("d_ext") > 0).select(
+        "id",
+        "label",
+        F.explode(F.sequence(F.lit(1), F.col("d_ext"))).alias("stub"),
+    )
+    stubs = stubs.withColumn(
+        "shuf", F.xxhash64("id", "stub", F.lit(seed), F.lit(23))
+    )
+    pos = global_row_numbers(stubs, ["shuf", "id", "stub"], out_col="p")
+    paired = (
+        pos.select((F.col("p") / 2).cast("long").alias("pair"), "id", "label")
+        .groupBy("pair")
+        .agg(
+            F.min("id").alias("a"),
+            F.max("id").alias("b"),
+            F.count("*").alias("cnt"),
+            F.count_distinct("label").alias("nlabels"),
+        )
+        .filter((F.col("cnt") == 2) & (F.col("a") != F.col("b")) & (F.col("nlabels") == 2))
+        .select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+    )
+    e = (
+        intra.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .unionByName(paired)
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    partition = assigned.select("id", "label")
+    return GraphDF.from_edges(e, directed=False, vertices=v), partition

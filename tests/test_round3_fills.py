@@ -1,0 +1,267 @@
+"""Round-3 fill-in operators (VERDICT r2 "Next round" #5, #6, #8, #9):
+TopHarmonicCloseness, NeighborhoodDistanceIndex, LocalFilterScore,
+RandomNodeEdgeScore, ChibaNishizeki quadrangle score, per-trade Curveball,
+BidirectionalBFS, LFR generator — each vs a pure-python oracle or the
+reference's structural invariant."""
+
+import math
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import GraphDF
+from tests.fixtures import KARATE_EDGES, KARATE_N, TINY_CC_EDGES, TINY_CC_N
+
+
+def _adj(edges, n):
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    return nbrs
+
+
+def _bfs_dists(nbrs, s):
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in nbrs[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_top_harmonic_closeness_matches_oracle(spark):
+    from networkit_spark.operators.closeness import top_harmonic_closeness
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    nbrs = _adj(KARATE_EDGES, KARATE_N)
+    oracle = {
+        u: sum(1.0 / d for v, d in _bfs_dists(nbrs, u).items() if d > 0)
+        for u in range(KARATE_N)
+    }
+    top5 = sorted(oracle.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r["id"], r["score"]) for r in top_harmonic_closeness(g, 5).collect()]
+    assert [i for i, _ in got] == [i for i, _ in top5]
+    for (gi, gs), (oi, os) in zip(got, top5):
+        assert abs(gs - os) < 1e-9
+
+
+def test_neighborhood_distance_index_oracle(spark):
+    from networkit_spark.operators.linkprediction import neighborhood_distance_index
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    nbrs = _adj(KARATE_EDGES, KARATE_N)
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in neighborhood_distance_index(g).collect()
+    }
+    for (u, v), s in got.items():
+        inter = len(nbrs[u] & nbrs[v])
+        expect = inter / math.sqrt(len(nbrs[u]) * len(nbrs[v]))
+        assert abs(s - expect) < 1e-9
+        assert inter >= 1  # only two-hop pairs scored
+    # spot-check a known pair is present
+    assert any(u == 0 for (u, v) in got)
+
+
+def _local_filter_oracle(edges, attrs, n, logarithmic=True):
+    """Reference loop (sparsification/LocalFilterScore.hpp:53-99)."""
+    inc = defaultdict(list)
+    for (u, v) in edges:
+        inc[u].append((u, v))
+        inc[v].append((u, v))
+    exp = defaultdict(float)
+    for i, es in inc.items():
+        d = len(es)
+        es = sorted(es, key=lambda e: -attrs[e])
+        rank, num_same, old = 0, 1, None
+        for e in es:
+            if attrs[e] != old:
+                rank += num_same
+                num_same = 1
+                old = attrs[e]
+            else:
+                num_same += 1
+            ev = 1.0
+            if d > 1:
+                if logarithmic:
+                    ev = 1.0 - math.log(rank) / math.log(d)
+                else:
+                    ev = 1.0 - (rank - 1) / (d - 1)
+            exp[e] = max(exp[e], ev)
+    return exp
+
+
+@pytest.mark.parametrize("logarithmic", [True, False])
+def test_local_filter_score_oracle(spark, logarithmic):
+    from networkit_spark.operators.sparsification import local_filter_score
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    # deterministic synthetic attribute with TIES (exercises the
+    # competition-rank numSame loop)
+    attrs = {(u, v): float((u * 7 + v * 13) % 5) for (u, v) in KARATE_EDGES}
+    scores = spark.createDataFrame(
+        [(u, v, s) for (u, v), s in attrs.items()], "src long, dst long, score double"
+    )
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in local_filter_score(g, scores, logarithmic=logarithmic).collect()
+    }
+    oracle = _local_filter_oracle(KARATE_EDGES, attrs, KARATE_N, logarithmic)
+    assert set(got) == set(oracle)
+    for e in oracle:
+        assert abs(got[e] - oracle[e]) < 1e-9, e
+
+
+def test_random_node_edge_score_properties(spark):
+    from networkit_spark.operators.sparsification import random_node_edge_score
+
+    # star (hub 0, leaves 1..10) + clique on 20..25: leaf edges see much
+    # higher node-first removal rates than clique edges
+    edges = [(0, i) for i in range(1, 11)]
+    clique = [(a, b) for a in range(20, 26) for b in range(a + 1, 26)]
+    g = GraphDF.from_edge_list(spark, edges + clique, num_nodes=26)
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in random_node_edge_score(g, rne_ratio=1.0).collect()
+    }
+    m = len(edges) + len(clique)
+    assert len(got) == m
+    # scores are the normalized removal permutation {0/m, ..., (m-1)/m}
+    assert sorted(got.values()) == pytest.approx([i / m for i in range(m)])
+    star_avg = sum(got[e] for e in edges) / len(edges)
+    clique_avg = sum(got[e] for e in clique) / len(clique)
+    assert star_avg < clique_avg  # low-degree-incident edges removed earlier
+
+
+def _quadrangle_oracle(edges, n):
+    nbrs = _adj(edges, n)
+    eset = {(min(u, v), max(u, v)) for u, v in edges}
+    out = {}
+    for (u, v) in eset:
+        c = 0
+        for w in nbrs[v]:
+            if w == u:
+                continue
+            for x in nbrs[u]:
+                if x == v or x == w:
+                    continue
+                if (min(w, x), max(w, x)) in eset:
+                    c += 1
+        out[(u, v)] = c
+    return out
+
+
+def test_quadrangle_edge_score_oracle(spark):
+    from networkit_spark.operators.triangles import quadrangle_edge_score
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {
+        (r["src"], r["dst"]): r["score"]
+        for r in quadrangle_edge_score(g).collect()
+    }
+    oracle = _quadrangle_oracle(KARATE_EDGES, KARATE_N)
+    assert got == oracle
+    assert sum(oracle.values()) > 0  # karate has quadrangles
+
+
+def test_quadrangle_golden_c4():
+    """Pure 4-cycle: every edge in exactly one quadrangle; with a chord,
+    the chord edge is in two."""
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert _quadrangle_oracle(c4, 4) == {e: 1 for e in [(0, 1), (1, 2), (2, 3), (0, 3)]}
+
+
+def test_quadrangle_spark_matches_on_c4_with_chord(spark):
+    from networkit_spark.operators.triangles import quadrangle_edge_score
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)]
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=4)
+    got = {
+        (r["src"], r["dst"]): r["score"] for r in quadrangle_edge_score(g).collect()
+    }
+    assert got == _quadrangle_oracle(edges, 4)
+
+
+def test_curveball_preserves_degrees_and_trade_count(spark):
+    from networkit_spark.operators.randomization import (
+        curveball,
+        curveball_uniform_trades,
+    )
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    trades = curveball_uniform_trades(g, 30, seed=11)
+    assert len(trades) >= 25  # generator emits ~n_trades (u≠v kept)
+    g2 = curveball(g, trades, seed=11)
+    deg_before = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    deg_after = {r["id"]: r["degree"] for r in g2.degrees().collect()}
+    assert deg_before == deg_after
+    e_before = {(r["src"], r["dst"]) for r in g.E.select("src", "dst").collect()}
+    e_after = {(r["src"], r["dst"]) for r in g2.E.select("src", "dst").collect()}
+    assert len(e_before) == len(e_after)
+    assert e_before != e_after  # the null model actually shuffled something
+
+
+def test_bidirectional_bfs_matches_bfs(spark):
+    from networkit_spark.operators.bfs import bfs_from, bidirectional_bfs
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    d0 = {
+        r["id"]: r["dist"] for r in bfs_from(g, 0).collect() if r["dist"] is not None
+    }
+    for t in [0, 5, 16, 26, 33]:
+        assert bidirectional_bfs(g, 0, t) == d0[t]
+
+
+def test_bidirectional_bfs_unreachable_and_directed(spark):
+    from networkit_spark.operators.bfs import bfs_from, bidirectional_bfs
+
+    g = GraphDF.from_edge_list(spark, TINY_CC_EDGES, num_nodes=TINY_CC_N)
+    assert bidirectional_bfs(g, 0, 13) is None  # different components
+    assert bidirectional_bfs(g, 0, 19) == _bfs_dists(_adj(TINY_CC_EDGES, TINY_CC_N), 0)[19]
+
+    dg = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3)], directed=True, num_nodes=4
+    )
+    assert bidirectional_bfs(dg, 0, 3) == 3
+    assert bidirectional_bfs(dg, 3, 0) is None  # direction matters
+
+
+def test_lfr_structure_and_recovery(spark):
+    from networkit_spark.operators.community import nmi_distance
+    from networkit_spark.operators.plm import plm
+    from networkit_spark.sources.generators import lfr
+
+    g, planted = lfr(
+        spark,
+        n=300,
+        avg_degree=12,
+        max_degree=40,
+        mu=0.12,
+        min_community=30,
+        max_community=80,
+        seed=5,
+    )
+    planted = planted.persist()
+    part = {r["id"]: r["label"] for r in planted.collect()}
+    assert len(part) == 300  # every node assigned exactly once
+    sizes = defaultdict(int)
+    for lbl in part.values():
+        sizes[lbl] += 1
+    assert all(2 <= s <= 80 for s in sizes.values())
+
+    edges = [(r["src"], r["dst"]) for r in g.E.select("src", "dst").collect()]
+    assert len(edges) > 300  # nontrivial graph
+    cross = sum(1 for u, v in edges if part[u] != part[v])
+    mixing = cross / len(edges)
+    # per-EDGE mixing ≈ mu (loose band: stub-collision drops bias it down)
+    assert 0.02 < mixing < 0.30
+
+    # planted partition is recoverable: Louvain lands close to it
+    found = plm(g)
+    assert nmi_distance(planted, found) < 0.35  # NMI ≥ 0.65
+    planted.unpersist()

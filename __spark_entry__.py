@@ -41,6 +41,11 @@ CLOSE_DEPTH = 8          # ≥ supplier_co diameter for the closeness oracle
 KATZLP_L = 3             # KatzIndex bounded walk length
 KATZLP_DAMP = 0.005      # KatzIndex damping β
 SIMMELIAN_RANK = 3       # SimmelianOverlapScore maxRank
+EB_SAMPLES = 25          # estimate_betweenness LCG sample size
+EB_SEED = 7
+AC_SAMPLES = 25          # approx_closeness LCG sample size
+AC_SEED = 7
+TOPH_K = 10              # top-harmonic-closeness k
 SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 LSH_PLANES = 4
@@ -400,6 +405,76 @@ def q_harmonic_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, "score").orderBy("id")
 
 
+def q_estimate_betweenness_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes (EstimateBetweenness.cpp) — the variant a
+    100-TB user actually runs. LCG sampling ⇒ the DuckDB oracle reproduces
+    the exact sample set, promoting this from pytest-only to the hard
+    gate."""
+    from networkit_spark.operators.betweenness import estimate_betweenness
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = estimate_betweenness(
+        g, n_samples=EB_SAMPLES, seed=EB_SEED, max_depth=BETW_DEPTH, sampler="lcg"
+    )
+    return _round6(out, "score").orderBy("id")
+
+
+def q_approx_closeness_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproxCloseness (sampled-source transposed estimate) with LCG
+    sampling for full oracle parity."""
+    from networkit_spark.operators.closeness import approx_closeness
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = approx_closeness(
+        g, n_samples=AC_SAMPLES, seed=AC_SEED, normalized=True, sampler="lcg"
+    )
+    return _round6(out, "score").orderBy("id")
+
+
+def q_top_harmonic_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopHarmonicCloseness: rank on the ROUNDED score with an id tie-break
+    (CLAUDE.md rule 5) so the k-boundary is FP-noise-proof on both
+    engines."""
+    from networkit_spark.operators.closeness import harmonic_closeness
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    out = _round6(harmonic_closeness(g, normalized=False), "score")
+    return out.orderBy(F.desc("score"), F.asc("id")).limit(TOPH_K)
+
+
+def q_quadrangle_score_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChibaNishizekiQuadrangleEdgeScore: 4-cycles per edge."""
+    from networkit_spark.operators.triangles import quadrangle_edge_score
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return quadrangle_edge_score(g).orderBy("src", "dst")
+
+
+def q_ndi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NeighborhoodDistanceIndex: cosine similarity of neighborhoods."""
+    from networkit_spark.operators.linkprediction import neighborhood_distance_index
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return _round6(neighborhood_distance_index(g), "score").orderBy("u", "v")
+
+
+def q_local_filter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalFilterScore over the co-purchase weights as the input
+    attribute (logarithmic variant)."""
+    from networkit_spark.operators.sparsification import local_filter_score
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    scores = g.E.select("src", "dst", F.col("weight").alias("score"))
+    out = local_filter_score(g, scores, logarithmic=True)
+    return _round6(out, "score").orderBy("src", "dst")
+
+
 def q_modularity_plp_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar modularity of the fixed-sweep PLP partition (Modularity.cpp
     self-loop conventions; supplier_co has none)."""
@@ -675,8 +750,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_edge_score_supplier": q_triangle_edge_score_supplier,
         "kcore_supplier_co": q_kcore_supplier_co,
         "betweenness_supplier_co": q_betweenness_supplier_co,
+        "estimate_betweenness_supplier": q_estimate_betweenness_supplier,
         "closeness_supplier_co": q_closeness_supplier_co,
+        "approx_closeness_supplier": q_approx_closeness_supplier,
         "harmonic_supplier_co": q_harmonic_supplier_co,
+        "top_harmonic_supplier": q_top_harmonic_supplier,
+        "quadrangle_score_supplier": q_quadrangle_score_supplier,
+        "ndi_supplier": q_ndi_supplier,
+        "local_filter_supplier": q_local_filter_supplier,
         "modularity_plp_supplier": q_modularity_plp_supplier,
         "partition_measures_cs": q_partition_measures_cs,
         "transcripts_conv_edges": q_transcripts_conv_edges,
@@ -1335,6 +1416,150 @@ def _betweenness_sql(edges_cte: str, depth: int) -> str:
     return "\n".join(parts)
 
 
+def _lcg_srcs_cte(k: int, seed: int) -> str:
+    """LCG seeded node sample — mirrors GraphDF.random_nodes_lcg exactly."""
+    return (
+        f"srcs AS (SELECT id FROM v ORDER BY"
+        f" ((id + {seed}) * 1103515245 + 12345) % 2147483648, id LIMIT {k})"
+    )
+
+
+def _est_betweenness_sql(edges_cte: str, depth: int, k: int, seed: int) -> str:
+    """Unrolled sampled Brandes matching estimate_betweenness(sampler='lcg'):
+    forward σ from the LCG sample only; backward δ carries the reference's
+    linear distance-scaling factor d/(d+1); extrapolation 2n/k."""
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst FROM edges WHERE src != dst"
+        " UNION SELECT dst, src FROM edges WHERE src != dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        _lcg_srcs_cte(k, seed) + ",",
+        "l0 AS (SELECT id AS source, id, 1.0 AS sigma FROM srcs),",
+        "vis0 AS (SELECT source, id FROM l0),",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"l{d} AS (SELECT f.source, e.dst AS id, SUM(f.sigma) AS sigma"
+            f" FROM esym e JOIN l{d-1} f ON e.src = f.id"
+            f" LEFT JOIN vis{d-1} vz ON vz.source = f.source AND vz.id = e.dst"
+            f" WHERE vz.id IS NULL GROUP BY f.source, e.dst),"
+        )
+        parts.append(
+            f"vis{d} AS (SELECT source, id FROM vis{d-1}"
+            f" UNION ALL SELECT source, id FROM l{d}),"
+        )
+    parts.append(
+        f"d{depth} AS (SELECT source, id, sigma, 0.0 AS delta FROM l{depth}),"
+    )
+    for d in range(depth - 1, -1, -1):
+        factor = float(d) / float(d + 1)
+        parts.append(
+            f"d{d} AS (SELECT u.source, u.id, u.sigma,"
+            f" COALESCE(s.dep, 0.0) AS delta"
+            f" FROM l{d} u LEFT JOIN ("
+            f"SELECT uu.source, uu.id,"
+            f" SUM({factor!r} * uu.sigma / vv.sigma * (1.0 + vv.delta)) AS dep"
+            f" FROM l{d} uu JOIN esym e ON e.src = uu.id"
+            f" JOIN d{d+1} vv ON vv.source = uu.source AND vv.id = e.dst"
+            f" GROUP BY uu.source, uu.id"
+            f") s ON s.source = u.source AND s.id = u.id),"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT source, id, delta FROM d{d}" for d in range(depth + 1)
+    )
+    parts.append(f"alld AS ({union}),")
+    parts.append(
+        f"bc AS (SELECT id, SUM(delta) * 2.0 * (SELECT n FROM nn) / {k}.0"
+        " AS score FROM alld WHERE source != id GROUP BY id)"
+    )
+    parts.append(
+        "SELECT v.id, ROUND(COALESCE(bc.score, 0.0), 6) AS score"
+        " FROM v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id"
+    )
+    return "\n".join(parts)
+
+
+def _approx_closeness_sql(edges_cte: str, max_d: int, k: int, seed: int) -> str:
+    """Sampled-source BFS matching approx_closeness(sampler='lcg'):
+    score(u) = (n−1) / (n/s · Σ_{s∈S} d(s,u)) / (n−1) (normalized)."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+esym AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges WHERE src != dst
+         UNION ALL SELECT dst, src FROM edges WHERE src != dst)),
+v AS (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+{_lcg_srcs_cte(k, seed)},
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT walk.source, u.dst, walk.d + 1
+  FROM walk JOIN esym u ON u.src = walk.id
+  WHERE walk.d < {max_d}
+),
+md AS (SELECT source, id, MIN(d) AS dist FROM walk GROUP BY source, id),
+est AS (SELECT id, SUM(dist) AS partial FROM md WHERE dist > 0 GROUP BY id),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM srcs)
+SELECT v.id, ROUND(COALESCE(
+    ((SELECT n FROM nn) - 1)
+    / (est.partial * (SELECT n FROM nn) / (SELECT s FROM ns))
+    / ((SELECT n FROM nn) - 1), 0.0), 6) AS score
+FROM v LEFT JOIN est ON v.id = est.id ORDER BY v.id
+"""
+
+
+def _top_harmonic_sql(edges_cte: str, max_d: int, k: int) -> str:
+    """Unnormalized harmonic closeness, top-k on (rounded score DESC, id)."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+esym AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges WHERE src != dst
+         UNION ALL SELECT dst, src FROM edges WHERE src != dst)),
+v AS (SELECT DISTINCT id FROM
+      (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+walk(source, id, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT walk.source, u.dst, walk.d + 1
+  FROM walk JOIN esym u ON u.src = walk.id
+  WHERE walk.d < {max_d}
+),
+md AS (SELECT source, id, MIN(d) AS dist FROM walk GROUP BY source, id),
+ag AS (SELECT source, SUM(1.0 / dist) AS h FROM md WHERE dist > 0
+       GROUP BY source)
+SELECT v.id, ROUND(COALESCE(ag.h, 0.0), 6) AS score
+FROM v LEFT JOIN ag ON v.id = ag.source
+ORDER BY score DESC, v.id LIMIT {k}
+"""
+
+
+def _quadrangle_sql(edges_cte: str) -> str:
+    """Wedge-group 4-cycle counting matching quadrangle_edge_score: each
+    quadrangle has two diagonal wedge groups and touches every contained
+    edge from both — halve the summed incidences."""
+    return f"""
+WITH {edges_cte},
+nb AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges WHERE src != dst
+       UNION ALL SELECT dst, src FROM edges WHERE src != dst)),
+wed AS (SELECT a.dst AS a, b.dst AS b, a.src AS m
+        FROM nb a JOIN nb b ON a.src = b.src AND a.dst < b.dst),
+grp AS (SELECT a, b, COUNT(*) AS c FROM wed GROUP BY a, b),
+contrib AS (SELECT w.a, w.b, w.m, g.c FROM wed w
+            JOIN grp g ON w.a = g.a AND w.b = g.b WHERE g.c > 1),
+pairs AS (SELECT LEAST(a, m) AS src, GREATEST(a, m) AS dst, c - 1 AS q
+          FROM contrib
+          UNION ALL
+          SELECT LEAST(m, b), GREATEST(m, b), c - 1 FROM contrib),
+qc AS (SELECT src, dst, CAST(SUM(q) / 2 AS BIGINT) AS score FROM pairs
+       GROUP BY src, dst),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+          FROM edges)
+SELECT c.src, c.dst, CAST(COALESCE(qc.score, 0) AS BIGINT) AS score
+FROM canon c LEFT JOIN qc ON c.src = qc.src AND c.dst = qc.dst
+ORDER BY c.src, c.dst
+"""
+
+
 _LINKPRED_BASE = """
 nb AS (SELECT src, dst FROM edges WHERE src != dst
        UNION SELECT dst, src FROM edges WHERE src != dst),
@@ -1552,12 +1777,50 @@ FROM esym e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
         "betweenness_supplier_co": _betweenness_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), BETW_DEPTH
         ),
+        "estimate_betweenness_supplier": _est_betweenness_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), BETW_DEPTH, EB_SAMPLES, EB_SEED
+        ),
         "closeness_supplier_co": _closeness_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH
+        ),
+        "approx_closeness_supplier": _approx_closeness_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH, AC_SAMPLES, AC_SEED
         ),
         "harmonic_supplier_co": _closeness_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH, harmonic=True
         ),
+        "top_harmonic_supplier": _top_harmonic_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH, TOPH_K
+        ),
+        "quadrangle_score_supplier": _quadrangle_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip()
+        ),
+        "ndi_supplier": f"""
+WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+{_LINKPRED_BASE.strip()},
+cn AS (SELECT u, v, COUNT(*) AS c FROM hop2 GROUP BY u, v)
+SELECT cn.u, cn.v, ROUND(cn.c / SQRT(du.d * dv.d), 6) AS score
+FROM cn JOIN deg du ON cn.u = du.id JOIN deg dv ON cn.v = dv.id
+ORDER BY cn.u, cn.v
+""",
+        "local_filter_supplier": f"""
+WITH {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+inc AS (SELECT src AS i, src, dst, weight AS attr FROM edges WHERE src != dst
+        UNION ALL
+        SELECT dst, src, dst, weight FROM edges WHERE src != dst),
+nb AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges WHERE src != dst
+       UNION ALL SELECT dst, src FROM edges WHERE src != dst)),
+dg AS (SELECT src AS i, COUNT(*) AS d FROM nb GROUP BY src),
+ranked AS (SELECT i, src, dst,
+           RANK() OVER (PARTITION BY i ORDER BY attr DESC) AS r FROM inc),
+ev AS (SELECT r.src, r.dst,
+       CASE WHEN dg.d <= 1 THEN 1.0
+            ELSE 1.0 - LN(CAST(r.r AS DOUBLE)) / LN(CAST(dg.d AS DOUBLE))
+       END AS e
+       FROM ranked r JOIN dg ON r.i = dg.i)
+SELECT src, dst, ROUND(MAX(e), 6) AS score FROM ev GROUP BY src, dst
+ORDER BY src, dst
+""",
         "modularity_plp_supplier": _modularity_plp_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS
         ),

@@ -403,6 +403,17 @@ class GraphDF:
             .limit(k)
         )
 
+    def random_nodes_lcg(self, k: int, seed: int = 42) -> DataFrame:
+        """random_nodes twin on the cross-engine LCG key
+        ((id + seed)·1103515245 + 12345) mod 2³¹ — same seeded-sample
+        semantics, but expressible verbatim in ANSI SQL, so operators built
+        on it (estimate_betweenness, approx_closeness) get full DuckDB
+        oracles instead of rows-only checks."""
+        key = (
+            (F.col("id") + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+        ) % F.lit(2147483648)
+        return self.V.orderBy(key, "id").limit(k)
+
     def random_edges(self, k: int, seed: int = 42) -> DataFrame:
         return (
             self.E.orderBy(F.xxhash64("src", "dst", F.lit(seed)), "src", "dst")

@@ -169,20 +169,24 @@ def estimate_betweenness(
     seed: int = 42,
     normalized: bool = False,
     max_depth: int = 10_000,
+    sampler: str = "hash",
 ) -> DataFrame:
     """EstimateBetweenness.cpp:26-110 — sampled-source approximation, the
     100-TB-scale path: state is O(nSamples·n), not O(n²).
 
     Per the reference: the dependency recursion carries the linear
     distance-scaling factor dist(p)/dist(t) (:78) and scores extrapolate by
-    2n/nSamples (:105). Sampling here is seeded-hash (deterministic),
-    without replacement (the reference samples with replacement from its
-    RNG; the estimator is the same)."""
+    2n/nSamples (:105). Sampling here is seeded (deterministic), without
+    replacement (the reference samples with replacement from its RNG; the
+    estimator is the same). sampler="hash" uses xxhash64 keys;
+    sampler="lcg" uses the cross-engine LCG so a DuckDB oracle can
+    reproduce the exact sample set."""
     e = graph.E if graph.directed else graph.E_sym
     edges = e.select("src", "dst").distinct()
     edges = edges.repartition("src").sortWithinPartitions("src").persist()
     edges.count()
-    srcs = graph.random_nodes(n_samples, seed).select("id")
+    pick = graph.random_nodes_lcg if sampler == "lcg" else graph.random_nodes
+    srcs = pick(n_samples, seed).select("id")
 
     levels = _forward_levels(edges, srcs, max_depth)
     # backward sweep with the dist(p)/dist(t) factor: at depth d the factor

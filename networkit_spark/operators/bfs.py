@@ -158,6 +158,78 @@ def bidirectional_bfs(
     return best
 
 
+def astar(
+    graph: GraphDF,
+    source: int,
+    target: int,
+    heuristic: DataFrame | None = None,
+    max_iterations: int = 10_000,
+) -> float | None:
+    """AStar (distance/AStar.cpp): point-to-point shortest path guided by an
+    ADMISSIBLE per-node heuristic `heuristic` = (id, h) with
+    h(u) ≤ dist(u, target). Distributed re-expression: instead of expanding
+    one f-minimal node per step (a priority queue is inherently
+    sequential), relax ALL surviving frontier nodes per superstep and let
+    the f-bound cull the ball — candidate labels with d + h ≥ best-known
+    d(target) can never improve the optimum (admissibility: any completion
+    costs ≥ h) and are pruned before they enter the next frontier. Exact
+    for admissible h; h ≡ 0 degenerates to bidirectional-free Dijkstra.
+    Returns dist(source, target) or None if unreachable."""
+    if source == target:
+        return 0.0
+    spark = graph.V.sparkSession
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst", "weight")
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+    if heuristic is None:
+        heuristic = graph.V.select("id", F.lit(0.0).alias("h"))
+    h = heuristic.select("id", F.col("h").cast("double"))
+
+    dist = graph.V.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(None)).alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.filter(F.col("dist").isNotNull()).localCheckpoint(eager=True)
+    best: float | None = None
+    for _ in range(max_iterations):
+        if frontier.isEmpty():
+            break
+        cand = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("id").alias("src"),
+                                            F.col("dist").alias("fd"))),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), (F.col("fd") + F.col("weight")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        if best is not None:
+            cand = cand.join(h, "id", "left").filter(
+                F.col("nd") + F.coalesce("h", F.lit(0.0)) < F.lit(best)
+            ).select("id", "nd")
+        improved = (
+            cand.join(dist, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            dist.join(improved.select("id", F.col("dist").alias("nd")), "id", "left")
+            .select("id", F.coalesce("nd", "dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        t_row = improved.filter(F.col("id") == target).collect()
+        if t_row:
+            best = float(t_row[0]["dist"]) if best is None else min(
+                best, float(t_row[0]["dist"])
+            )
+        frontier = improved
+    edges.unpersist()
+    return best
+
+
 def sssp_distances(
     graph: GraphDF, source: int, max_iterations: int = 10_000
 ) -> DataFrame:

@@ -146,14 +146,20 @@ def top_harmonic_closeness(graph: GraphDF, k: int, n_chunks: int = 1) -> DataFra
 
 
 def approx_closeness(
-    graph: GraphDF, n_samples: int = 64, seed: int = 42, normalized: bool = True
+    graph: GraphDF,
+    n_samples: int = 64,
+    seed: int = 42,
+    normalized: bool = True,
+    sampler: str = "hash",
 ) -> DataFrame:
     """ApproxCloseness (centrality/ApproxCloseness.cpp): closeness estimated
     from distances to a seeded source sample — the transposed estimate
     score(u) ≈ (n−1) / (n/s · Σ_{s∈S} d(s,u)). THE scale default: state is
     O(samples·n), and the sample never leaves the cluster (DataFrame
-    sources end-to-end)."""
-    samples = graph.random_nodes(n_samples, seed).select("id")
+    sources end-to-end). sampler="lcg" draws the sample with the
+    cross-engine LCG key so the DuckDB oracle reproduces it exactly."""
+    pick = graph.random_nodes_lcg if sampler == "lcg" else graph.random_nodes
+    samples = pick(n_samples, seed).select("id")
     n = graph.number_of_nodes()
     s = samples.count()
     if s == 0:

@@ -700,3 +700,299 @@ def lfr(
     v = spark.range(n).select(F.col("id").cast("long"))
     partition = assigned.select("id", "label")
     return GraphDF.from_edges(e, directed=False, vertices=v), partition
+
+
+# ----------------------------------------- dynamic generators, round 3 fills
+_EVENT_SCHEMA = "seq long, type string, u long, v long, w double"
+
+
+def dynamic_path_events(spark: SparkSession, n_steps: int) -> DataFrame:
+    """DynamicPathGenerator (generators/DynamicPathGenerator.cpp:12-29):
+    node 0, then per step a NODE_ADDITION + EDGE_ADDITION(i-1, i). Fully
+    columnar over spark.range — no driver loop."""
+    node0 = spark.createDataFrame(
+        [(0, "NODE_ADDITION", 0, None, None)], _EVENT_SCHEMA
+    )
+    steps = spark.range(1, n_steps + 1)
+    nodes = steps.select(
+        (F.col("id") * 2 - 1).alias("seq"),
+        F.lit("NODE_ADDITION").alias("type"),
+        F.col("id").cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    edges = steps.select(
+        (F.col("id") * 2).alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        (F.col("id") - 1).cast("long").alias("u"),
+        F.col("id").cast("long").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    return node0.unionByName(nodes).unionByName(edges)
+
+
+def dynamic_dorogovtsev_mendes_events(
+    spark: SparkSession, n_steps: int, seed: int = 42
+) -> DataFrame:
+    """DynamicDorogovtsevMendesGenerator
+    (generators/DynamicDorogovtsevMendesGenerator.cpp:14-55): initial
+    triangle, then each new node attaches to BOTH endpoints of a uniformly
+    chosen existing edge. Inherently sequential (each draw conditions on
+    every prior draw), so the EVENT LIST — O(steps) metadata, never graph-
+    sized — is built driver-side with a seeded RNG; the fold back into a
+    graph (streaming/events.graph_from_events) is the distributed part."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    for i in range(3):
+        emit("NODE_ADDITION", i)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    for (a, b) in edges:
+        emit("EDGE_ADDITION", a, b, 1.0)
+    for i in range(n_steps):
+        u = 3 + i
+        emit("NODE_ADDITION", u)
+        s, t = edges[rng.randint(0, len(edges) - 1)]
+        edges.append((s, u))
+        edges.append((t, u))
+        emit("EDGE_ADDITION", u, s, 1.0)
+        emit("EDGE_ADDITION", u, t, 1.0)
+    return spark.createDataFrame(rows, _EVENT_SCHEMA)
+
+
+def dynamic_forest_fire_events(
+    spark: SparkSession,
+    n_steps: int,
+    p: float = 0.3,
+    r: float = 1.0,
+    directed: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicForestFireGenerator
+    (generators/DynamicForestFireGenerator.cpp:25-130): each step adds a
+    node, picks a random ambassador, burns outward (geometric edge budget
+    with prob p forward / p·r backward per visited node), and connects the
+    new node to every burned node. Sequential burning process → driver-side
+    event-list construction like the reference (O(steps·degree) metadata);
+    the fold is distributed."""
+    import random
+    from collections import deque
+
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+
+    def emit(t, u=None, v=None, w=None):
+        nonlocal seq
+        rows.append((seq, t, u, v, w))
+        seq += 1
+
+    out_nbrs: list[set] = []
+    in_nbrs: list[set] = []
+
+    def add_node():
+        out_nbrs.append(set())
+        in_nbrs.append(set())
+        emit("NODE_ADDITION", len(out_nbrs) - 1)
+        return len(out_nbrs) - 1
+
+    def add_edge(a, b):
+        out_nbrs[a].add(b)
+        in_nbrs[b].add(a)
+        if not directed:
+            out_nbrs[b].add(a)
+            in_nbrs[a].add(b)
+        emit("EDGE_ADDITION", a, b, 1.0)
+
+    def select(cands, prob):
+        chosen = set()
+        pool = list(cands)
+        while pool and rng.random() <= prob:
+            k = rng.randint(0, len(pool) - 1)
+            chosen.add(pool[k])
+            pool[k] = pool[-1]
+            pool.pop()
+        return chosen
+
+    for _ in range(n_steps):
+        u = add_node()
+        if u == 0:
+            continue
+        visited = {u}
+        amb = rng.randint(0, u - 1)
+        q = deque([amb])
+        burned = [amb]
+        visited.add(amb)
+        while q:
+            x = q.popleft()
+            nxt = select([y for y in out_nbrs[x] if y not in visited], p)
+            if directed:
+                nxt |= select([y for y in in_nbrs[x] if y not in visited], p * r)
+            for y in nxt:
+                visited.add(y)
+                burned.append(y)
+                q.append(y)
+        for b in burned:
+            add_edge(u, b)
+    return spark.createDataFrame(rows, _EVENT_SCHEMA)
+
+
+def _diff_events(prev_e: DataFrame, cur_e: DataFrame, step: int) -> DataFrame:
+    """Edge-set delta between consecutive snapshots as GraphEvents, all
+    DataFrame ops (anti-joins). Every (u,v) key appears at most once per
+    step, so seq = step preserves apply_events' last-writer-wins order."""
+    added = cur_e.join(prev_e, ["src", "dst"], "left_anti").select(
+        F.lit(step).cast("long").alias("seq"),
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    removed = prev_e.join(cur_e, ["src", "dst"], "left_anti").select(
+        F.lit(step).cast("long").alias("seq"),
+        F.lit("EDGE_REMOVAL").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    return added.unionByName(removed)
+
+
+def dynamic_hyperbolic_events(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    drift: float = 0.05,
+    avg_degree: float = 6.0,
+    alpha: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicHyperbolicGenerator (generators/DynamicHyperbolicGenerator.cpp):
+    nodes move in the hyperbolic disk; the event stream is the edge-set
+    delta between consecutive positions. Re-expressed distributively: the
+    per-step angular drift is a seeded column expression (theta_t = theta_0
+    + t·δ_i), each snapshot's edge set is the same distance-filtered join
+    as hyperbolic_random, and the delta is two anti-joins — no driver-side
+    graph state, steps are metadata only."""
+    import math as _m
+
+    R = 2.0 * _m.log(8.0 * n / (_m.pi * avg_degree))
+
+    def pts(step: int):
+        delta = (
+            F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(99))), F.lit(1 << 20))
+            / F.lit(float(1 << 20)) - 0.5
+        ) * F.lit(2.0 * drift)
+        return spark.range(n).select(
+            F.col("id").cast("long"),
+            F.pmod(
+                F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(1))), F.lit(1 << 40))
+                / F.lit(float(1 << 40)) * F.lit(2.0 * _m.pi)
+                + F.lit(float(step)) * delta,
+                F.lit(2.0 * _m.pi),
+            ).alias("theta"),
+            (
+                F.acosh(
+                    1.0
+                    + (F.cosh(F.lit(alpha * R)) - 1.0)
+                    * (
+                        F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(2))), F.lit(1 << 40))
+                        / F.lit(float(1 << 40))
+                    )
+                )
+                / F.lit(alpha)
+            ).alias("r"),
+        )
+
+    def edges(step: int):
+        p = pts(step)
+        a = p.select(F.col("id").alias("src"), F.col("theta").alias("t1"), F.col("r").alias("r1"))
+        b = p.select(F.col("id").alias("dst"), F.col("theta").alias("t2"), F.col("r").alias("r2"))
+        pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+        dtheta = F.lit(_m.pi) - F.abs(F.lit(_m.pi) - F.abs(F.col("t1") - F.col("t2")))
+        cosh_d = (
+            F.cosh("r1") * F.cosh("r2") - F.sinh("r1") * F.sinh("r2") * F.cos(dtheta)
+        )
+        return pairs.filter(cosh_d <= F.cosh(F.lit(R))).select("src", "dst")
+
+    nodes = spark.range(n).select(
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("NODE_ADDITION").alias("type"),
+        F.col("id").cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = nodes
+    prev = empty
+    for t in range(n_steps + 1):
+        cur = edges(t).localCheckpoint(eager=True)
+        out = out.unionByName(_diff_events(prev, cur, t + 1))
+        prev = cur
+    return out
+
+
+def dynamic_pubweb_events(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    radius: float,
+    drift: float = 0.02,
+    seed: int = 42,
+) -> DataFrame:
+    """DynamicPubWebGenerator (generators/DynamicPubWebGenerator.cpp):
+    points drift on the unit torus; events are the radius-graph deltas.
+    Same distributed diff design as dynamic_hyperbolic_events."""
+
+    def pts(step: int):
+        def coord(salt):
+            base = (
+                F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(salt))), F.lit(1 << 40))
+                / F.lit(float(1 << 40))
+            )
+            d = (
+                F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(salt + 50))), F.lit(1 << 20))
+                / F.lit(float(1 << 20)) - 0.5
+            ) * F.lit(2.0 * drift)
+            return F.pmod(base + F.lit(float(step)) * d + 10.0, F.lit(1.0))
+
+        return spark.range(n).select(
+            F.col("id").cast("long"), coord(1).alias("x"), coord(2).alias("y")
+        )
+
+    def edges(step: int):
+        p = pts(step)
+        a = p.select(F.col("id").alias("src"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+        b = p.select(F.col("id").alias("dst"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+        dx = F.abs(F.col("x1") - F.col("x2"))
+        dy = F.abs(F.col("y1") - F.col("y2"))
+        tdx = F.least(dx, 1.0 - dx)
+        tdy = F.least(dy, 1.0 - dy)
+        pairs = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+        return pairs.filter(tdx * tdx + tdy * tdy <= F.lit(radius * radius)).select(
+            "src", "dst"
+        )
+
+    nodes = spark.range(n).select(
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("NODE_ADDITION").alias("type"),
+        F.col("id").cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = nodes
+    prev = empty
+    for t in range(n_steps + 1):
+        cur = edges(t).localCheckpoint(eager=True)
+        out = out.unionByName(_diff_events(prev, cur, t + 1))
+        prev = cur
+    return out

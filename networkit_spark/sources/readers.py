@@ -156,6 +156,87 @@ def write_edge_list(
     )
 
 
+def write_metis(graph: GraphDF, path: str, weighted: bool | None = None) -> None:
+    """METISGraphWriter (io/METISGraphWriter.cpp:20-66): header `n m w`,
+    then line i = the 1-based neighbors of node i (every undirected edge
+    appears in both endpoint lines); weighted dialect emits `nbr w` pairs.
+    Directed graphs are rejected like the reference. Ids are remapped to a
+    continuous [0,n) space first (the reference's getContinuousNodeIds
+    branch). Adjacency lines are built distributively (per-node groupBy of
+    sorted neighbor structs); only the final file sink is single-stream —
+    line-format sinks are fixture-tier by definition (write_parquet is the
+    scale sink)."""
+    if graph.directed:
+        raise ValueError("METIS does not support directed graphs")
+    if weighted is None:
+        weighted = graph.weighted
+    g, mapping = graph.compact_node_ids()
+    n = g.V.count()
+    m = g.E.count()
+    nb = g.E_sym.filter("src != dst").select("src", "dst", "weight")
+    if weighted:
+        tok = F.concat_ws(
+            " ", (F.col("dst") + 1).cast("string"), F.col("weight").cast("string")
+        )
+        sep = "\t"
+    else:
+        tok = (F.col("dst") + 1).cast("string")
+        sep = " "
+    adj = nb.groupBy("src").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dst", tok.alias("tok")))),
+                lambda s: s["tok"],
+            ),
+            sep,
+        ).alias("line")
+    )
+    body = (
+        g.V.join(adj, g.V.id == adj.src, "left")
+        .select(
+            (F.col("id") + 1).alias("ord"),
+            F.coalesce("line", F.lit("")).alias("value"),
+        )
+    )
+    header = body.sparkSession.createDataFrame(
+        [(0, f"{n} {m} {int(bool(weighted))}")], "ord long, value string"
+    )
+    (
+        header.unionByName(body)
+        .orderBy("ord")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_snap(graph: GraphDF, path: str) -> None:
+    """SNAPGraphWriter (io/SNAPGraphWriter.cpp:15-27): problem line
+    `p n m u u 0` followed by one `u v` line per edge."""
+    n = graph.V.count()
+    m = graph.E.count()
+    body = graph.E.select(
+        F.lit(1).alias("ord"),
+        F.col("src").cast("long").alias("s"),
+        F.col("dst").cast("long").alias("d"),
+        F.concat_ws(
+            " ", F.col("src").cast("string"), F.col("dst").cast("string")
+        ).alias("value"),
+    )
+    header = body.sparkSession.createDataFrame(
+        [(0, -1, -1, f"p {n} {m} u u 0")], "ord int, s long, d long, value string"
+    )
+    (
+        header.unionByName(body)
+        .orderBy("ord", "s", "d")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def write_parquet(graph: GraphDF, path: str) -> None:
     """The engine's native binary sink (NetworkitBinary ≡ parquet row
     groups): edges partitioned and sorted for co-located reads."""

@@ -265,3 +265,154 @@ def test_lfr_structure_and_recovery(spark):
     found = plm(g)
     assert nmi_distance(planted, found) < 0.35  # NMI ≥ 0.65
     planted.unpersist()
+
+
+# ------------------------------------------------ dynamic generators (§2.1)
+def _fold(spark, ev, directed=False):
+    from networkit_spark.streaming.events import graph_from_events
+
+    return graph_from_events(spark, ev, directed=directed)
+
+
+def test_dynamic_path_events_fold(spark):
+    from networkit_spark.sources.generators import dynamic_path_events
+
+    g = _fold(spark, dynamic_path_events(spark, 10))
+    assert g.number_of_nodes() == 11
+    assert g.number_of_edges() == 10
+    degs = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert degs[0] == 1 and degs[10] == 1
+    assert all(degs[i] == 2 for i in range(1, 10))
+
+
+def test_dynamic_dorogovtsev_mendes_fold(spark):
+    from networkit_spark.sources.generators import (
+        dynamic_dorogovtsev_mendes_events,
+    )
+
+    ev = dynamic_dorogovtsev_mendes_events(spark, 20, seed=3)
+    g = _fold(spark, ev)
+    assert g.number_of_nodes() == 23
+    assert g.number_of_edges() == 3 + 2 * 20
+    degs = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert all(degs[3 + i] >= 2 for i in range(20))  # every new node got 2
+
+
+def test_dynamic_forest_fire_fold(spark):
+    from networkit_spark.sources.generators import dynamic_forest_fire_events
+
+    ev = dynamic_forest_fire_events(spark, 15, p=0.4, seed=9)
+    g = _fold(spark, ev)
+    assert g.number_of_nodes() == 15
+    degs = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert all(degs[i] >= 1 for i in range(1, 15))  # ambassador edge at least
+    # single weakly-connected component (burning always reaches amb)
+    from networkit_spark.operators.components import weakly_connected_components
+
+    assert (
+        weakly_connected_components(g).select("component").distinct().count() == 1
+    )
+
+
+def _assert_alternating(ev_rows):
+    """Diff-stream sanity: per edge key, events alternate ADD→REMOVE→ADD…
+    in seq order, starting with an ADD."""
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for r in ev_rows:
+        if r["type"] in ("EDGE_ADDITION", "EDGE_REMOVAL"):
+            per_key[(r["u"], r["v"])].append((r["seq"], r["type"]))
+    for key, evs in per_key.items():
+        evs.sort()
+        expect = "EDGE_ADDITION"
+        for _, t in evs:
+            assert t == expect, (key, evs)
+            expect = (
+                "EDGE_REMOVAL" if expect == "EDGE_ADDITION" else "EDGE_ADDITION"
+            )
+
+
+def test_dynamic_hyperbolic_step0_matches_static_and_alternates(spark):
+    from networkit_spark.sources.generators import (
+        dynamic_hyperbolic_events,
+        hyperbolic_random,
+    )
+
+    ev0 = dynamic_hyperbolic_events(spark, 40, 0, seed=5)
+    g0 = _fold(spark, ev0)
+    static = hyperbolic_random(spark, 40, seed=5)
+    e1 = sorted((r["src"], r["dst"]) for r in g0.E.collect())
+    e2 = sorted(
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in static.E.collect()
+    )
+    assert e1 == e2
+    ev3 = dynamic_hyperbolic_events(spark, 40, 3, drift=0.3, seed=5)
+    _assert_alternating(ev3.collect())
+
+
+def test_dynamic_pubweb_step0_matches_static_and_alternates(spark):
+    from networkit_spark.sources.generators import (
+        dynamic_pubweb_events,
+        random_geometric,
+    )
+
+    ev0 = dynamic_pubweb_events(spark, 50, 0, radius=0.2, seed=6)
+    g0 = _fold(spark, ev0)
+    static = random_geometric(spark, 50, radius=0.2, seed=6)
+    e1 = sorted((r["src"], r["dst"]) for r in g0.E.collect())
+    e2 = sorted(
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in static.E.collect()
+    )
+    assert e1 == e2
+    ev3 = dynamic_pubweb_events(spark, 50, 3, radius=0.2, drift=0.2, seed=6)
+    _assert_alternating(ev3.collect())
+
+
+def test_astar_grid_with_manhattan_heuristic(spark):
+    """5x5 unit grid: A* with the admissible Manhattan heuristic equals
+    Dijkstra's distance corner-to-corner."""
+    from networkit_spark.operators.bfs import astar, sssp_distances
+
+    W = 5
+    edges = []
+    for y in range(W):
+        for x in range(W):
+            i = y * W + x
+            if x + 1 < W:
+                edges.append((i, i + 1))
+            if y + 1 < W:
+                edges.append((i, i + W))
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=W * W)
+    target = W * W - 1
+    heur = spark.createDataFrame(
+        [
+            (i, float(abs(W - 1 - (i % W)) + abs(W - 1 - (i // W))))
+            for i in range(W * W)
+        ],
+        "id long, h double",
+    )
+    d = astar(g, 0, target, heur)
+    oracle = {
+        r["id"]: r["dist"] for r in sssp_distances(g, 0).collect()
+    }
+    assert d == oracle[target] == 8.0
+    # h ≡ 0 (degenerate Dijkstra) and unreachable cases
+    assert astar(g, 0, 7, None) == oracle[7]
+    g2 = GraphDF.from_edge_list(spark, [(0, 1), (2, 3)], num_nodes=4)
+    assert astar(g2, 0, 3) is None
+    assert astar(g2, 2, 2) == 0.0
+
+
+def test_astar_weighted_prefers_cheap_detour(spark):
+    from networkit_spark.operators.bfs import astar
+
+    # 0-1-3 costs 10+10; 0-2-3 costs 1+1
+    edges = [(0, 1, 10.0), (1, 3, 10.0), (0, 2, 1.0), (2, 3, 1.0)]
+    g = GraphDF.from_edge_list(spark, edges, weighted=True, num_nodes=4)
+    heur = spark.createDataFrame(
+        [(0, 0.0), (1, 0.0), (2, 0.0), (3, 0.0)], "id long, h double"
+    )
+    assert astar(g, 0, 3, heur) == 2.0

@@ -190,3 +190,51 @@ def test_partition_roundtrip(spark, tmp):
     assert {(r["id"], r["label"]) for r in p2.collect()} == {
         (i, i % 3) for i in range(10)
     }
+
+
+def test_metis_writer_roundtrip(spark, tmp):
+    from networkit_spark.sources.readers import write_metis
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    p = os.path.join(tmp, "karate_metis")
+    write_metis(g, p, weighted=False)
+    g2 = read_metis(spark, p)
+    assert g2.number_of_nodes() == KARATE_N
+    e1 = sorted((r["src"], r["dst"]) for r in g.E.collect())
+    e2 = sorted((r["src"], r["dst"]) for r in g2.E.collect())
+    assert e1 == e2
+    # header matches the reference dialect: "n m 0"
+    import glob
+
+    txt = open(glob.glob(os.path.join(p, "part-*"))[0]).read().splitlines()
+    assert txt[0] == f"{KARATE_N} {len(KARATE_EDGES)} 0"
+    assert len(txt) == KARATE_N + 1  # one adjacency line per node
+
+
+def test_metis_writer_weighted_dialect(spark, tmp):
+    from networkit_spark.sources.readers import write_metis
+
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1, 2.0), (1, 2, 3.0)], weighted=True, num_nodes=3
+    )
+    p = os.path.join(tmp, "w_metis")
+    write_metis(g, p, weighted=True)
+    import glob
+
+    txt = open(glob.glob(os.path.join(p, "part-*"))[0]).read().splitlines()
+    assert txt[0] == "3 2 1"
+    assert txt[1] == "2 2.0"          # node 1's neighbor 2 (1-based) w=2
+    assert txt[2] == "1 2.0\t3 3.0"   # node 2: nbrs 1 (w=2) and 3 (w=3)
+
+
+def test_snap_writer_golden(spark, tmp):
+    from networkit_spark.sources.readers import write_snap
+
+    g = GraphDF.from_edge_list(spark, [(0, 1), (1, 2), (0, 2)], num_nodes=3)
+    p = os.path.join(tmp, "snap_out")
+    write_snap(g, p)
+    import glob
+
+    txt = open(glob.glob(os.path.join(p, "part-*"))[0]).read().splitlines()
+    assert txt[0] == "p 3 3 u u 0"
+    assert txt[1:] == ["0 1", "0 2", "1 2"]

@@ -1,3 +1,4 @@
+import pytest
 import math
 
 from pyspark.sql import functions as F
@@ -209,3 +210,18 @@ def test_minhash_bucket_cap_keeps_duplicate_clusters_linked(spark):
     assert all(r["est_jaccard"] == 1.0 for r in capped)
     ids = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
     assert ids == {0, 1, 2, 3, 4}
+
+
+def test_resize_images_stub_fails_loudly(spark):
+    """VERDICT r2 #10 contract: the codec stub must carry a REAL Spark plan
+    (schema, filter, mapInPandas signature) but fail loudly with the
+    documented container-limitation message on execution — never silently
+    pass."""
+    from networkit_spark.functions.multimodal import resize_images
+
+    media = synthesize_media(spark, 6, seed=3)
+    plan = resize_images(media, 64, 64)
+    assert [f.name for f in plan.schema.fields] == ["media_id", "payload"]
+    with pytest.raises(Exception) as ei:
+        plan.collect()
+    assert "PIL" in str(ei.value) or "codec" in str(ei.value)

@@ -67,71 +67,86 @@ def main():
     timings: dict[str, float] = {}
     throughput: dict[str, dict] = {}
 
+    # BENCH_KERNELS=comma,list restricts to a subset — bench_headline.py
+    # uses this to run ONE kernel per fresh JVM (clean-protocol medians).
+    only = os.environ.get("BENCH_KERNELS")
+    only_set = set(only.split(",")) if only else None
+
+    def want(name: str) -> bool:
+        return only_set is None or name in only_set
+
     # ---- pagerank on the customer→supplier link graph (the headline)
     g_cs = tg.customer_supplier_graph(spark, sf_dir)
     m_cs = g_cs.number_of_edges()
-    t0 = time.time()
-    pagerank_fixed(g_cs, iterations=pr_iters).count()
-    dt = time.time() - t0
-    timings["pagerank_cs"] = round(dt, 3)
-    throughput["pagerank_cs"] = {
-        "edges": m_cs,
-        "supersteps": pr_iters,
-        "edges_per_sec_per_superstep": round(m_cs * pr_iters / dt, 1),
-    }
+    if want("pagerank_cs"):
+        t0 = time.time()
+        pagerank_fixed(g_cs, iterations=pr_iters).count()
+        dt = time.time() - t0
+        timings["pagerank_cs"] = round(dt, 3)
+        throughput["pagerank_cs"] = {
+            "edges": m_cs,
+            "supersteps": pr_iters,
+            "edges_per_sec_per_superstep": round(m_cs * pr_iters / dt, 1),
+        }
 
     # ---- weakly connected components to fixpoint
-    t0 = time.time()
-    weakly_connected_components(g_cs).count()
-    dt = time.time() - t0
-    timings["wcc_cs"] = round(dt, 3)
-    throughput["wcc_cs"] = {"edges": m_cs, "edges_per_sec": round(m_cs / dt, 1)}
+    if want("wcc_cs"):
+        t0 = time.time()
+        weakly_connected_components(g_cs).count()
+        dt = time.time() - t0
+        timings["wcc_cs"] = round(dt, 3)
+        throughput["wcc_cs"] = {"edges": m_cs, "edges_per_sec": round(m_cs / dt, 1)}
 
     # ---- synchronous PLP on the dense supplier co-purchase graph
     g_co = tg.supplier_co_graph(spark, sf_dir)
-    m_co = g_co.number_of_edges()
-    t0 = time.time()
-    plp_fixed(g_co, iterations=4).count()
-    dt = time.time() - t0
-    timings["plp_co"] = round(dt, 3)
-    throughput["plp_co"] = {
-        "edges": m_co,
-        "supersteps": 4,
-        "edges_per_sec_per_superstep": round(m_co * 4 / dt, 1),
-    }
+    if want("plp_co"):
+        m_co = g_co.number_of_edges()
+        t0 = time.time()
+        plp_fixed(g_co, iterations=4).count()
+        dt = time.time() - t0
+        timings["plp_co"] = round(dt, 3)
+        throughput["plp_co"] = {
+            "edges": m_co,
+            "supersteps": 4,
+            "edges_per_sec_per_superstep": round(m_co * 4 / dt, 1),
+        }
 
     # ---- triangle counting on the sparse transcript conv→conv graph
-    g_conv_d = conv_graph(spark)
-    g_conv = g_conv_d.to_undirected()
-    m_conv = g_conv.number_of_edges()
-    t0 = time.time()
-    triangle_counts(g_conv).count()
-    dt = time.time() - t0
-    timings["triangles_conv"] = round(dt, 3)
-    throughput["triangles_conv"] = {
-        "edges": m_conv,
-        "edges_per_sec": round(m_conv / dt, 1),
-    }
+    if want("triangles_conv"):
+        g_conv_d = conv_graph(spark)
+        g_conv = g_conv_d.to_undirected()
+        m_conv = g_conv.number_of_edges()
+        t0 = time.time()
+        triangle_counts(g_conv).count()
+        dt = time.time() - t0
+        timings["triangles_conv"] = round(dt, 3)
+        throughput["triangles_conv"] = {
+            "edges": m_conv,
+            "edges_per_sec": round(m_conv / dt, 1),
+        }
 
     # ---- round-2 additions (new keys — r1 keys stay comparable)
     from networkit_spark.operators.betweenness import estimate_betweenness
     from networkit_spark.operators.components import strongly_connected_components
     from networkit_spark.operators.kcore import core_decomposition_hindex
 
-    t0 = time.time()
-    core_decomposition_hindex(g_co).count()
-    timings["kcore_hindex_co"] = round(time.time() - t0, 3)
+    if want("kcore_hindex_co"):
+        t0 = time.time()
+        core_decomposition_hindex(g_co).count()
+        timings["kcore_hindex_co"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    strongly_connected_components(g_cs).count()
-    timings["scc_cs"] = round(time.time() - t0, 3)
+    if want("scc_cs"):
+        t0 = time.time()
+        strongly_connected_components(g_cs).count()
+        timings["scc_cs"] = round(time.time() - t0, 3)
 
     # sampled betweenness on the (shallow-diameter) undirected cs graph —
     # level-synchronous Brandes is O(diameter) supersteps by nature, so the
     # deep-chain conv graph is the wrong fixture for a wall-clock bench
-    t0 = time.time()
-    estimate_betweenness(g_cs.to_undirected(), n_samples=16).count()
-    timings["betweenness_est_cs"] = round(time.time() - t0, 3)
+    if want("betweenness_est_cs"):
+        t0 = time.time()
+        estimate_betweenness(g_cs.to_undirected(), n_samples=16).count()
+        timings["betweenness_est_cs"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -996,3 +996,57 @@ def dynamic_pubweb_events(
         out = out.unionByName(_diff_events(prev, cur, t + 1))
         prev = cur
     return out
+
+
+def mocnik(
+    spark: SparkSession,
+    dim: int,
+    n: int,
+    k: float = 2.5,
+    seed: int = 42,
+    weighted: bool = False,
+) -> GraphDF:
+    """MocnikGenerator (generators/MocnikGenerator.cpp:217-290): n uniform
+    points in [0,1]^dim; DIRECTED edge u→v iff dist(u,v) ≤ k · dmin(u),
+    where dmin(u) is u's nearest-neighbor distance. The reference's cell
+    array is an acceleration structure, not a semantic — re-expressed as
+    an all-pairs candidate join (fixture scale, like the other geometric
+    generators; a grid-cell bucketed join is the scale path) + per-source
+    min aggregation. weight = dist/dmin per the weighted variant."""
+    coords = [
+        (
+            F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(10 + j))), F.lit(1 << 40))
+            / F.lit(float(1 << 40))
+        ).alias(f"c{j}")
+        for j in range(dim)
+    ]
+    pts = spark.range(n).select(F.col("id").cast("long"), *coords)
+    a = pts.select(
+        F.col("id").alias("src"), *[F.col(f"c{j}").alias(f"a{j}") for j in range(dim)]
+    )
+    b = pts.select(
+        F.col("id").alias("dst"), *[F.col(f"c{j}").alias(f"b{j}") for j in range(dim)]
+    )
+    d2 = None
+    for j in range(dim):
+        t = (F.col(f"a{j}") - F.col(f"b{j}")) ** 2
+        d2 = t if d2 is None else d2 + t
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.sqrt(d2).alias("d"))
+    )
+    dmin = pairs.groupBy("src").agg(F.min("d").alias("dmin"))
+    e = (
+        pairs.join(dmin, "src")
+        .filter(F.col("d") <= F.lit(float(k)) * F.col("dmin"))
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("d") / F.col("dmin")) if weighted else F.lit(1.0)
+            ).alias("weight"),
+        )
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=True, weighted=weighted, vertices=v)

@@ -156,6 +156,37 @@ def write_edge_list(
     )
 
 
+def read_lfr(
+    spark: SparkSession, network_path: str, community_path: str
+) -> tuple[GraphDF, DataFrame]:
+    """LFR benchmark fixture pair (the reference's LFRGenerator test inputs
+    `input/network.dat` + `input/community.dat`,
+    test/LFRGeneratorGTest.cpp): network.dat lists every undirected edge
+    twice as 1-based `u v`; community.dat is 1-based `node community`.
+    Returns (graph, planted_partition(id, label)) with 0-based ids — the
+    same shape sources/generators.lfr produces, so NMI against a detected
+    partition works on either."""
+    raw = spark.read.csv(network_path, sep="\t", comment="#")
+    cols = raw.columns
+    e = (
+        raw.select(
+            (F.col(cols[0]).cast("long") - 1).alias("src"),
+            (F.col(cols[1]).cast("long") - 1).alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    g = GraphDF.from_edges(e, directed=False)
+    c = spark.read.csv(community_path, sep="\t", comment="#")
+    ccols = c.columns
+    part = c.select(
+        (F.col(ccols[0]).cast("long") - 1).alias("id"),
+        F.col(ccols[1]).cast("long").alias("label"),
+    )
+    return g, part
+
+
 def write_metis(graph: GraphDF, path: str, weighted: bool | None = None) -> None:
     """METISGraphWriter (io/METISGraphWriter.cpp:20-66): header `n m w`,
     then line i = the 1-based neighbors of node i (every undirected edge

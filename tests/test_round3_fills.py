@@ -416,3 +416,48 @@ def test_astar_weighted_prefers_cheap_detour(spark):
         [(0, 0.0), (1, 0.0), (2, 0.0), (3, 0.0)], "id long, h double"
     )
     assert astar(g, 0, 3, heur) == 2.0
+
+
+def test_read_lfr_reference_fixtures(spark):
+    """Parse the reference's own LFR benchmark fixtures
+    (input/network.dat + community.dat) and sanity-check structure."""
+    from networkit_spark.sources.readers import read_lfr
+
+    g, part = read_lfr(
+        spark,
+        "/root/reference/input/network.dat",
+        "/root/reference/input/community.dat",
+    )
+    n = g.number_of_nodes()
+    labels = {r["id"]: r["label"] for r in part.collect()}
+    assert len(labels) >= n > 0
+    assert g.number_of_edges() > 0
+    # ids are 0-based after the reader's shift
+    assert min(labels) == 0
+    # every edge endpoint has a community assignment
+    missing = (
+        g.V.join(part, "id", "left_anti").count()
+    )
+    assert missing == 0
+
+
+def test_mocnik_generator_properties(spark):
+    from networkit_spark.sources.generators import mocnik
+
+    g = mocnik(spark, dim=2, n=60, k=1.5, seed=4)
+    assert g.directed
+    outdeg = {
+        r["src"]: r["cnt"]
+        for r in g.E.groupBy("src").agg(F.count("*").alias("cnt")).collect()
+    }
+    # every node reaches at least its nearest neighbor
+    assert len(outdeg) == 60 and all(c >= 1 for c in outdeg.values())
+    # k-monotonicity: larger radius multiplier ⇒ superset of edges
+    e_small = {(r["src"], r["dst"]) for r in g.E.collect()}
+    g2 = mocnik(spark, dim=2, n=60, k=2.5, seed=4)
+    e_big = {(r["src"], r["dst"]) for r in g2.E.collect()}
+    assert e_small < e_big
+    # weighted variant: weight = d/dmin ∈ [1, k]
+    gw = mocnik(spark, dim=2, n=40, k=2.0, seed=4, weighted=True)
+    ws = [r["weight"] for r in gw.E.collect()]
+    assert all(1.0 <= w <= 2.0 + 1e-9 for w in ws)

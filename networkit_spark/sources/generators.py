@@ -1050,3 +1050,316 @@ def mocnik(
     )
     v = spark.range(n).select(F.col("id").cast("long"))
     return GraphDF.from_edges(e, directed=True, weighted=weighted, vertices=v)
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, n_neighbors: int) -> GraphDF:
+    """RegularRingLatticeGenerator (generators/RegularRingLatticeGenerator.cpp:
+    12-29): node i connects to (i+j) % n for j in 1..k, k clamped to
+    n/2 - 1 like the reference. Pure column program over spark.range —
+    no shuffle at all until the caller asks for one."""
+    k = n_neighbors
+    if k >= n // 2 - 1:
+        k = n // 2 - 1
+    e = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("long").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") + F.col("j"), F.lit(n)).cast("long").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def stochastic_blockmodel(
+    spark: SparkSession,
+    n: int,
+    membership: list[int] | DataFrame,
+    affinity: list[list[float]],
+    seed: int = 42,
+) -> GraphDF:
+    """StochasticBlockmodel (generators/StochasticBlockmodel.cpp:33-48):
+    every node pair u<v is an independent Bernoulli with
+    p = affinity[block(u)][block(v)]. Same per-pair seeded-hash design as
+    erdos_renyi; the affinity matrix is nBlocks² metadata broadcast into
+    the join. O(n²) candidate space — fixture tier like the reference's
+    own forNodePairs loop (for scale, sample per block pair instead)."""
+    if isinstance(membership, DataFrame):
+        mem = membership.select(
+            F.col("id").cast("long"), F.col("block").cast("long")
+        )
+    else:
+        if len(membership) != n:
+            raise ValueError("membership list must be of size n")
+        mem = spark.createDataFrame(
+            [(i, int(b)) for i, b in enumerate(membership)], "id long, block long"
+        )
+    k = len(affinity)
+    for row in affinity:
+        if len(row) != k:
+            raise ValueError("affinity matrix must be square")
+    aff = spark.createDataFrame(
+        [(a, b, float(affinity[a][b])) for a in range(k) for b in range(k)],
+        "ba long, bb long, p double",
+    )
+    pairs = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") / n).cast("long").alias("src"),
+            F.pmod(F.col("id"), F.lit(n)).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") < F.col("dst"))
+    )
+    pairs = (
+        pairs.join(mem.select(F.col("id").alias("src"), F.col("block").alias("ba")), "src")
+        .join(mem.select(F.col("id").alias("dst"), F.col("block").alias("bb")), "dst")
+        .join(F.broadcast(aff), ["ba", "bb"])
+    )
+    u01 = (
+        F.pmod(_u(F.xxhash64("src", "dst", F.lit(seed))), F.lit(1 << 40))
+        / F.lit(float(1 << 40))
+    )
+    e = pairs.filter(u01 < F.col("p")).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def powerlaw_degree_sequence(
+    spark: SparkSession,
+    n: int,
+    min_deg: int,
+    max_deg: int,
+    gamma: float = 2.5,
+    seed: int = 42,
+) -> DataFrame:
+    """PowerlawDegreeSequence (generators/PowerlawDegreeSequence.cpp):
+    degree ~ truncated Pareto with exponent `gamma` on [min_deg, max_deg]
+    via inverse-CDF over a per-node seeded-hash uniform — the same column
+    program lfr() uses internally, exposed as the reference's standalone
+    helper. Returns (id, degree); feed .degree into havel_hakimi /
+    edge_switching_markov_chain / chung_lu."""
+    u01 = (
+        F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(11))), F.lit(1 << 40))
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 40) + 1))
+    deg = F.least(
+        F.lit(int(max_deg)),
+        F.round(
+            F.lit(int(min_deg)) * F.pow(F.lit(1.0) - u01, F.lit(-1.0 / (gamma - 1.0)))
+        ).cast("long"),
+    )
+    return spark.range(n).select(F.col("id").cast("long"), deg.alias("degree"))
+
+
+def pubweb(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int,
+    neighborhood_radius: float,
+    max_neighbors: int,
+    seed: int = 42,
+) -> GraphDF:
+    """PubWebGenerator (generators/PubWebGenerator.cpp:44-160): dense
+    circular areas on the unit torus hold ~n·a/(a+2) of the nodes
+    (per-area count ∝ rad^1.5), the rest scatter uniformly; an edge
+    appears iff BOTH endpoints rank the pair within their `max_neighbors`
+    nearest candidates inside `neighborhood_radius` (the reference's
+    eligibleEdges two-pass = mutual-kNN-within-radius), with
+    weight = BASE_WEIGHT / d² (BASE_WEIGHT = 0.01, PubWebGenerator.hpp:68).
+
+    Distributed shape: area metadata is driver-side (num_dense_areas
+    rows), positions are column expressions, the candidate filter is the
+    fixture-tier O(n²) torus join (cell-grid bucketing is the scale
+    path), and the mutual-kNN cut is a rank window PARTITIONED by node —
+    never a single-partition window."""
+    import hashlib
+    import math as _math
+
+    def _h01(tag: str) -> float:
+        h = int.from_bytes(
+            hashlib.sha256(f"pubweb-{seed}-{tag}".encode()).digest()[:6], "big"
+        )
+        return (h + 0.5) / float(1 << 48)
+
+    # ---- area metadata (driver-side: num_dense_areas rows)
+    areas = []
+    for a in range(num_dense_areas):
+        rad = 0.2 * _h01(f"rad-{a}")  # MAX_DENSE_AREA_RADIUS = 0.2
+        areas.append((a, _h01(f"x-{a}"), _h01(f"y-{a}"), rad))
+    mass = sum(r**1.5 for _, _, _, r in areas) or 1.0
+    dense_total = int(round(n * (num_dense_areas / (num_dense_areas + 2.0))))
+    ranges, lo = [], 0
+    for a, cx, cy, rad in areas:
+        cnt = int(round(dense_total * (rad**1.5) / mass))
+        cnt = min(cnt, n - lo)
+        ranges.append((a, lo, lo + cnt, cx, cy, rad))
+        lo += cnt
+    area_df = F.broadcast(
+        spark.createDataFrame(
+            ranges, "area long, lo long, hi long, cx double, cy double, rad double"
+        )
+    )
+
+    ids = spark.range(n).select(F.col("id").cast("long"))
+    placed = ids.join(
+        area_df, (F.col("id") >= F.col("lo")) & (F.col("id") < F.col("hi")), "left"
+    )
+    u1 = (
+        F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(21))), F.lit(1 << 40))
+        / F.lit(float(1 << 40))
+    )
+    u2 = (
+        F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(22))), F.lit(1 << 40))
+        / F.lit(float(1 << 40))
+    )
+    angle = u1 * F.lit(2.0 * _math.pi)
+    dist = u2 * F.col("rad")
+    # into the unit square with the reference's single ±1 wrap
+    def _wrap(z):
+        return F.when(z > 1.0, z - 1.0).when(z < 0.0, z + 1.0).otherwise(z)
+
+    pts = placed.select(
+        "id",
+        _wrap(
+            F.coalesce(F.col("cx") + F.cos(angle) * dist, u1)
+        ).alias("x"),
+        _wrap(
+            F.coalesce(F.col("cy") + F.sin(angle) * dist, u2)
+        ).alias("y"),
+    )
+
+    a_side = pts.select(
+        F.col("id").alias("src"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b_side = pts.select(
+        F.col("id").alias("dst"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    dx = F.abs(F.col("x1") - F.col("x2"))
+    dy = F.abs(F.col("y1") - F.col("y2"))
+    tdx = F.least(dx, 1.0 - dx)
+    tdy = F.least(dy, 1.0 - dy)
+    d2 = tdx * tdx + tdy * tdy
+    cand = (
+        a_side.crossJoin(b_side)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(neighborhood_radius * neighborhood_radius))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    ranked = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= F.lit(int(max_neighbors))
+    )
+    fwd = ranked.select("src", "dst", "d2")
+    rev = ranked.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("d2").alias("d2r")
+    )
+    e = (
+        fwd.join(rev.select("src", "dst"), ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", (F.lit(0.01) / F.col("d2")).alias("weight"))
+    )
+    return GraphDF.from_edges(e, directed=False, weighted=True, vertices=ids)
+
+
+def edge_switching_markov_chain(
+    spark: SparkSession,
+    degree_sequence: list[int],
+    rounds: int = 20,
+    seed: int = 42,
+) -> GraphDF:
+    """EdgeSwitchingMarkovChainGenerator (generators/
+    EdgeSwitchingMarkovChainGenerator.cpp:8-49): realize the degree
+    sequence with Havel-Hakimi, then randomize by degree-preserving edge
+    switches (u1,v1),(u2,v2) → (u1,v2),(u2,v1).
+
+    The reference performs 10·m sequential switches; the distributed
+    analog runs `rounds` parallel super-rounds: every round hash-shuffles
+    the edges via the two-stage global rank, pairs edge 2i with 2i+1
+    (pairwise-DISJOINT pairs, so accepted switches commute), proposes the
+    hash-chosen orientation, and atomically reverts any pair whose new
+    edges would self-loop, collide with a surviving edge, or collide with
+    another pair's proposal — the same atomic-revert discipline as
+    randomization._trade_round. Degree sequence is preserved exactly;
+    lineage is truncated per round."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    g0 = havel_hakimi(spark, degree_sequence)
+    e = g0.E.select("src", "dst").localCheckpoint(eager=True)
+    for r in range(rounds):
+        h = e.withColumn(
+            "h", F.xxhash64("src", "dst", F.lit(seed), F.lit(r))
+        )
+        rn = global_row_numbers(h, ["h", "src", "dst"], out_col="rn")
+        rn = rn.withColumn("pid", (F.col("rn") / 2).cast("long")).withColumn(
+            "side", F.pmod(F.col("rn"), F.lit(2))
+        )
+        left = rn.filter("side = 0").select(
+            "pid",
+            F.col("src").alias("u1"),
+            F.col("dst").alias("v1"),
+            F.col("h").alias("h1"),
+        )
+        right = rn.filter("side = 1").select(
+            "pid", F.col("src").alias("u2"), F.col("dst").alias("v2")
+        )
+        pr = left.join(right, "pid")  # unpaired leftover edge drops out of pr
+        # orientation bit: (u1,v2),(u2,v1) or (u1,u2),(v1,v2)
+        flip = F.pmod(_u(F.col("h1")), F.lit(2)) == 0
+        na1 = F.when(flip, F.col("v2")).otherwise(F.col("u2"))
+        nb1 = F.when(flip, F.col("u2")).otherwise(F.col("v2"))
+        prop = pr.select(
+            "pid",
+            "u1",
+            "v1",
+            "u2",
+            "v2",
+            F.least("u1", na1).alias("s1"),
+            F.greatest("u1", na1).alias("t1"),
+            F.least("v1", nb1).alias("s2"),
+            F.greatest("v1", nb1).alias("t2"),
+        )
+        # reject self-loops and within-pair duplicate
+        ok = prop.filter(
+            (F.col("s1") != F.col("t1"))
+            & (F.col("s2") != F.col("t2"))
+            & ~((F.col("s1") == F.col("s2")) & (F.col("t1") == F.col("t2")))
+        )
+        # reject proposals colliding with ANY current edge (reference's
+        # hasEdge check — conservative: includes edges being switched away)
+        new_edges = ok.select("pid", F.col("s1").alias("src"), F.col("t1").alias("dst")).unionByName(
+            ok.select("pid", F.col("s2").alias("src"), F.col("t2").alias("dst"))
+        )
+        clash_existing = new_edges.join(e, ["src", "dst"], "left_semi").select("pid")
+        # reject cross-pair collisions on the same proposed edge
+        clash_cross = (
+            new_edges.groupBy("src", "dst")
+            .agg(F.count("*").alias("c"), F.collect_list("pid").alias("pids"))
+            .filter("c > 1")
+            .select(F.explode("pids").alias("pid"))
+        )
+        bad = clash_existing.unionByName(clash_cross).distinct()
+        acc = ok.join(bad, "pid", "left_anti")
+        removed = acc.select(F.col("u1").alias("src"), F.col("v1").alias("dst")).unionByName(
+            acc.select(F.col("u2").alias("src"), F.col("v2").alias("dst"))
+        )
+        added = acc.select(F.col("s1").alias("src"), F.col("t1").alias("dst")).unionByName(
+            acc.select(F.col("s2").alias("src"), F.col("t2").alias("dst"))
+        )
+        e = (
+            e.join(removed, ["src", "dst"], "left_anti")
+            .unionByName(added)
+            .localCheckpoint(eager=True)
+        )
+    v = spark.range(len(degree_sequence)).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(
+        e.withColumn("weight", F.lit(1.0)), directed=False, vertices=v
+    )

@@ -375,3 +375,170 @@ def read_konect(
     )
     g = GraphDF.from_edges(e, directed=directed, weighted=weighted)
     return g.remove_multi_edges(mode=multiple_edges)
+
+
+def read_gml(spark: SparkSession, path: str) -> GraphDF:
+    """GMLGraphReader (io/GMLGraphReader.cpp:21-130, restricted GML
+    subset): `node [ id K ]` blocks then `edge [ source K target K ]`
+    blocks inside `graph [ ... ]`; `directed 1` flags direction. The
+    reference remaps each file key to the node's INSERTION ORDER
+    (G.addNode() per node block) — reproduced here by numbering node
+    blocks by document position.
+
+    Parse is columnar: wholetext read → regexp_extract_all block lists →
+    posexplode → per-block regexp_extract. One task for the regex pass
+    (fixture-format ingest tool, like read_metis); everything downstream
+    is a distributed DataFrame."""
+    raw = spark.read.text(path, wholetext=True)
+    directed = bool(
+        raw.select(
+            (F.regexp_extract("value", r"directed\s+(\d+)", 1) == "1").alias("d")
+        ).head()["d"]
+    )
+    nodes = (
+        raw.select(
+            F.posexplode(
+                F.regexp_extract_all("value", F.lit(r"node\s*\[([^\]]*)\]"), F.lit(1))
+            ).alias("ord", "blk")
+        )
+        .select(
+            F.col("ord").cast("long").alias("id"),
+            F.regexp_extract("blk", r"id\s+(\S+)", 1).alias("key"),
+        )
+    )
+    edges_raw = raw.select(
+        F.explode(
+            F.regexp_extract_all("value", F.lit(r"edge\s*\[([^\]]*)\]"), F.lit(1))
+        ).alias("blk")
+    ).select(
+        F.regexp_extract("blk", r"source\s+(\S+)", 1).alias("skey"),
+        F.regexp_extract("blk", r"target\s+(\S+)", 1).alias("tkey"),
+    )
+    e = (
+        edges_raw.join(
+            nodes.select(F.col("key").alias("skey"), F.col("id").alias("src")), "skey"
+        )
+        .join(
+            nodes.select(F.col("key").alias("tkey"), F.col("id").alias("dst")), "tkey"
+        )
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    v = nodes.select("id")
+    return GraphDF.from_edges(e, directed=directed, vertices=v)
+
+
+def write_gml(graph: GraphDF, path: str) -> None:
+    """GMLGraphWriter (io/GMLGraphWriter.cpp:17-39): `graph [`, optional
+    `directed 1`, one `node [ id u ]` block per node, one
+    `edge [ source u target v ]` block per edge, `]`. Canonical node/edge
+    order for byte-stable goldens; single-stream sink like the other
+    line-format writers (write_parquet is the scale sink)."""
+    node_lines = graph.V.orderBy("id").select(
+        F.lit(1).alias("ord"),
+        F.col("id").cast("long").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.concat(
+            F.lit("  node [\n    id "), F.col("id").cast("string"), F.lit("\n  ]")
+        ).alias("value"),
+    )
+    edge_lines = graph.E.orderBy("src", "dst").select(
+        F.lit(2).alias("ord"),
+        F.col("src").cast("long").alias("k1"),
+        F.col("dst").cast("long").alias("k2"),
+        F.concat(
+            F.lit("  edge [\n    source "),
+            F.col("src").cast("string"),
+            F.lit("\n    target "),
+            F.col("dst").cast("string"),
+            F.lit("\n  ]"),
+        ).alias("value"),
+    )
+    spark = graph.V.sparkSession
+    head = [(0, 0, 0, "graph [")]
+    if graph.directed:
+        head.append((0, 0, 1, "  directed 1"))
+    frame = spark.createDataFrame(
+        head + [(3, 0, 0, "]")], "ord int, k1 long, k2 long, value string"
+    )
+    (
+        frame.unionByName(node_lines)
+        .unionByName(edge_lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_dot(graph: GraphDF, path: str) -> None:
+    """DotGraphWriter (io/DotGraphWriter.cpp:14-23): `graph {` +
+    `u -- v;` per edge + `}` (directed variant: `digraph` / `->`,
+    the graphviz dialect the reference's Python layer emits)."""
+    arrow = " -> " if graph.directed else " -- "
+    head = "digraph {" if graph.directed else "graph {"
+    body = graph.E.orderBy("src", "dst").select(
+        F.lit(1).alias("ord"),
+        F.col("src").cast("long").alias("k1"),
+        F.col("dst").cast("long").alias("k2"),
+        F.concat(
+            F.col("src").cast("string"),
+            F.lit(arrow),
+            F.col("dst").cast("string"),
+            F.lit(";"),
+        ).alias("value"),
+    )
+    spark = graph.V.sparkSession
+    frame = spark.createDataFrame(
+        [(0, 0, 0, head), (2, 0, 0, "}")], "ord int, k1 long, k2 long, value string"
+    )
+    (
+        frame.unionByName(body)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_matrix_market(spark: SparkSession, path: str) -> GraphDF:
+    """MatrixMarketReader (io/MatrixMarketReader.cpp:36-120): header
+    `%%MatrixMarket matrix coordinate real|pattern general|symmetric`,
+    %-comments, a `nrows ncols nnz` size line, then 1-based
+    `i j [value]` entries. `symmetric` → undirected graph, `general` →
+    directed; `pattern` → weight 1.0. Returned as a GraphDF over the
+    0-based (i-1, j-1) adjacency (the reference materializes a CSRMatrix
+    — our matrix ≡ edge DataFrame). Size line = the first non-comment
+    line, dropped by file position (narrow scan, no shuffle)."""
+    first = spark.read.text(path).head()["value"].strip().lower().split()
+    if not first or first[0] != "%%matrixmarket":
+        raise ValueError("%%MatrixMarket header not found")
+    if first[2] != "coordinate":
+        raise ValueError(f"Unsupported format: {first[2]}")
+    data_kind = first[3]
+    if data_kind not in ("real", "pattern", "integer"):
+        raise ValueError(f"Unsupported data type: {data_kind}")
+    weighted = data_kind != "pattern"
+    symmetric = len(first) > 4 and first[4] == "symmetric"
+
+    lines_pos = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("_pos"), "value")
+        .filter(~F.col("value").startswith("%"))
+        .filter(F.trim("value") != "")
+    )
+    min_pos = lines_pos.agg(F.min("_pos").alias("m")).head()["m"]
+    body = lines_pos.filter(F.col("_pos") != min_pos).select(
+        F.split(F.trim("value"), r"\s+").alias("t")
+    )
+    e = body.select(
+        (F.element_at("t", 1).cast("long") - 1).alias("src"),
+        (F.element_at("t", 2).cast("long") - 1).alias("dst"),
+        (
+            F.element_at("t", 3).cast("double") if weighted else F.lit(1.0)
+        ).alias("weight"),
+    )
+    return GraphDF.from_edges(
+        e, directed=not symmetric, weighted=weighted
+    )

@@ -1,0 +1,228 @@
+"""Round-3 completeness batch: the last reference generators
+(RegularRingLattice, StochasticBlockmodel, PowerlawDegreeSequence,
+PubWeb, EdgeSwitchingMarkovChain) and the remaining text I/O formats
+(GML read/write, DOT write, MatrixMarket read)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.sources.generators import (
+    edge_switching_markov_chain,
+    havel_hakimi,
+    powerlaw_degree_sequence,
+    pubweb,
+    regular_ring_lattice,
+    stochastic_blockmodel,
+)
+from networkit_spark.sources.readers import (
+    read_gml,
+    read_matrix_market,
+    write_dot,
+    write_gml,
+)
+
+
+def _read_text_dir(path):
+    parts = sorted(glob.glob(os.path.join(path, "part-*")))
+    out = []
+    for p in parts:
+        with open(p) as f:
+            out.append(f.read())
+    return "".join(out)
+
+
+# ---------------------------------------------------------------- generators
+
+
+def test_regular_ring_lattice_degrees(spark):
+    g = regular_ring_lattice(spark, 12, 3)
+    assert g.number_of_edges() == 36
+    degs = g.E_sym.groupBy("src").count().select("count").distinct().collect()
+    assert [r["count"] for r in degs] == [6]
+
+
+def test_regular_ring_lattice_clamps_k(spark):
+    # reference clamps nNeighbors to n/2 - 1
+    g = regular_ring_lattice(spark, 10, 99)
+    degs = g.E_sym.groupBy("src").count().select("count").distinct().collect()
+    assert [r["count"] for r in degs] == [8]  # k -> 4
+
+
+def test_stochastic_blockmodel_exact_affinity(spark):
+    mem = [0] * 5 + [1] * 5
+    g = stochastic_blockmodel(spark, 10, mem, [[1.0, 0.0], [0.0, 1.0]], seed=7)
+    # p=1 within blocks -> two 5-cliques; p=0 across -> nothing else
+    assert g.number_of_edges() == 20
+    cross = g.E.filter(
+        ((F.col("src") < 5) & (F.col("dst") >= 5))
+        | ((F.col("src") >= 5) & (F.col("dst") < 5))
+    ).count()
+    assert cross == 0
+
+
+def test_stochastic_blockmodel_mixing(spark):
+    mem = [0] * 30 + [1] * 30
+    g = stochastic_blockmodel(spark, 60, mem, [[0.8, 0.05], [0.05, 0.8]], seed=3)
+    intra = g.E.filter(
+        ((F.col("src") < 30) & (F.col("dst") < 30))
+        | ((F.col("src") >= 30) & (F.col("dst") >= 30))
+    ).count()
+    inter = g.number_of_edges() - intra
+    assert intra > 5 * inter
+    # deterministic under the same seed
+    g2 = stochastic_blockmodel(spark, 60, mem, [[0.8, 0.05], [0.05, 0.8]], seed=3)
+    assert g2.number_of_edges() == g.number_of_edges()
+
+
+def test_stochastic_blockmodel_validates(spark):
+    with pytest.raises(ValueError):
+        stochastic_blockmodel(spark, 4, [0, 1], [[0.5, 0.5], [0.5, 0.5]])
+    with pytest.raises(ValueError):
+        stochastic_blockmodel(spark, 2, [0, 1], [[0.5], [0.5]])
+
+
+def test_powerlaw_degree_sequence_bounds(spark):
+    df = powerlaw_degree_sequence(spark, 2000, 3, 40, gamma=2.2, seed=5)
+    stats = df.agg(
+        F.min("degree").alias("lo"),
+        F.max("degree").alias("hi"),
+        F.avg("degree").alias("mean"),
+    ).head()
+    assert stats["lo"] >= 3 and stats["hi"] <= 40
+    assert stats["hi"] == 40  # heavy tail reaches the cap at n=2000
+    assert 3 < stats["mean"] < 15  # mass concentrated near min_deg
+    # deterministic
+    assert df.exceptAll(powerlaw_degree_sequence(spark, 2000, 3, 40, 2.2, 5)).count() == 0
+
+
+def test_pubweb_structure(spark):
+    rad = 0.15
+    g = pubweb(spark, 120, num_dense_areas=4, neighborhood_radius=rad,
+               max_neighbors=6, seed=9)
+    assert g.V.count() == 120
+    assert g.number_of_edges() > 0
+    # mutual-kNN cut: no node exceeds max_neighbors
+    maxdeg = (
+        g.E_sym.groupBy("src").count().agg(F.max("count").alias("m")).head()["m"]
+    )
+    assert maxdeg <= 6
+    # weight = 0.01 / d^2 with d <= radius  =>  weight >= 0.01 / rad^2
+    wmin = g.E.agg(F.min("weight").alias("w")).head()["w"]
+    assert wmin >= 0.01 / (rad * rad) - 1e-9
+
+
+def test_edge_switching_preserves_degrees(spark):
+    seq = [5, 4, 4, 3, 3, 3, 2, 2, 2, 2, 1, 1]
+    g0 = havel_hakimi(spark, seq)
+    g = edge_switching_markov_chain(spark, seq, rounds=8, seed=11)
+    degs = {
+        r["src"]: r["count"] for r in g.E_sym.groupBy("src").count().collect()
+    }
+    got = sorted(degs.values(), reverse=True) + [0] * (len(seq) - len(degs))
+    assert got == sorted(seq, reverse=True)
+    # simple graph: no self loops, no duplicate edges
+    e = [(r["src"], r["dst"]) for r in g.E.collect()]
+    assert all(s != d for s, d in e)
+    assert len(e) == len(set(e)) == g0.number_of_edges()
+    # the chain actually moved off the Havel-Hakimi start
+    e0 = {(r["src"], r["dst"]) for r in g0.E.collect()}
+    assert set(e) != e0
+
+
+# ------------------------------------------------------------------ text I/O
+
+
+def test_gml_roundtrip_and_golden(tmp_path, spark):
+    from networkit_spark.graph import GraphDF
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=False)
+    p = str(tmp_path / "g.gml")
+    write_gml(g, p)
+    content = _read_text_dir(p)
+    assert content.startswith("graph [\n  node [\n    id 0\n  ]\n")
+    assert "  edge [\n    source 0\n    target 1\n  ]\n" in content
+    assert content.rstrip().endswith("]")
+    g2 = read_gml(spark, p)
+    assert not g2.directed
+    got = {(r["src"], r["dst"]) for r in g2.E.collect()}
+    assert got == {(0, 1), (1, 2), (0, 2)}
+
+
+def test_gml_directed_and_key_remap(tmp_path, spark):
+    # reference remaps file keys to insertion order (GMLGraphReader nodeMap)
+    gml = (
+        "graph [\n  directed 1\n"
+        "  node [\n    id 10\n  ]\n"
+        "  node [\n    id 20\n  ]\n"
+        "  node [\n    id 30\n  ]\n"
+        "  edge [\n    source 10\n    target 30\n  ]\n"
+        "  edge [\n    source 30\n    target 20\n  ]\n"
+        "]\n"
+    )
+    f = tmp_path / "k.gml"
+    f.write_text(gml)
+    g = read_gml(spark, str(f))
+    assert g.directed
+    got = {(r["src"], r["dst"]) for r in g.E.collect()}
+    assert got == {(0, 2), (2, 1)}
+
+
+def test_write_dot_golden(tmp_path, spark):
+    from networkit_spark.graph import GraphDF
+
+    e = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=False)
+    p = str(tmp_path / "g.dot")
+    write_dot(g, p)
+    assert _read_text_dir(p) == "graph {\n0 -- 1;\n1 -- 2;\n}\n"
+    gd = GraphDF.from_edges(e, directed=True)
+    pd_ = str(tmp_path / "gd.dot")
+    write_dot(gd, pd_)
+    assert _read_text_dir(pd_) == "digraph {\n1 -> 0;\n1 -> 2;\n}\n"
+
+
+def test_read_matrix_market_symmetric_pattern(tmp_path, spark):
+    mtx = (
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        "% a comment\n"
+        "4 4 3\n"
+        "2 1\n"
+        "3 1\n"
+        "4 3\n"
+    )
+    f = tmp_path / "s.mtx"
+    f.write_text(mtx)
+    g = read_matrix_market(spark, str(f))
+    assert not g.directed
+    got = {(r["src"], r["dst"]) for r in g.E.collect()}
+    assert got == {(0, 1), (0, 2), (2, 3)}
+
+
+def test_read_matrix_market_general_real(tmp_path, spark):
+    mtx = (
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 2\n"
+        "1 2 0.5\n"
+        "3 1 2.0\n"
+    )
+    f = tmp_path / "g.mtx"
+    f.write_text(mtx)
+    g = read_matrix_market(spark, str(f))
+    assert g.directed
+    got = {(r["src"], r["dst"], r["weight"]) for r in g.E.collect()}
+    assert got == {(0, 1, 0.5), (2, 0, 2.0)}
+
+
+def test_read_matrix_market_rejects_bad_header(tmp_path, spark):
+    f = tmp_path / "bad.mtx"
+    f.write_text("%%NotMatrixMarket foo\n1 1 0\n")
+    with pytest.raises(ValueError):
+        read_matrix_market(spark, str(f))

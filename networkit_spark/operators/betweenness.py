@@ -250,3 +250,189 @@ def estimate_betweenness(
         out = out.select("id", (F.col("score") / F.lit(float(max(pairs, 1)))).alias("score"))
     edges.unpersist()
     return out
+
+
+def approx_betweenness(
+    graph: GraphDF,
+    epsilon: float = 0.1,
+    delta: float = 0.1,
+    universal_constant: float = 1.0,
+    seed: int = 42,
+    n_samples: int | None = None,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """ApproxBetweenness (centrality/ApproxBetweenness.cpp:30-110) — the
+    Riondato-Kornaropoulos path-sampling estimator: r = ⌈(c/ε²)(⌊log₂(VD−2)⌋
+    + 1 − ln δ)⌉ sampled (u,v) pairs; for each, ONE uniformly random
+    shortest u→v path is drawn by walking back from v choosing each
+    predecessor z with probability σ(z)/σ(t) (:79-88), and every internal
+    node of the path gains 1/r. E[score(w)] = fraction of node pairs whose
+    shortest path passes through w (absolute ε-approximation w.p. 1−δ).
+
+    Spark shape: one batched multi-source BFS keyed by SAMPLE index (a
+    sample's search stops at the level its target appears — the
+    reference's target-pruned BFS), then a backward walk where all r path
+    heads advance one level per superstep; the σ-weighted choice is a
+    cumulative-sum cut inside a window PARTITIONED by sample (never
+    single-partition). State: O(r · reached), supersteps: O(diameter).
+    Deterministic: pair sampling and every path choice are seeded hashes."""
+    import math
+
+    from networkit_spark.operators.bfs import diameter_lower_bound
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    spark = graph.V.sparkSession
+    n = graph.number_of_nodes()
+    zeros = graph.V.select("id", F.lit(0.0).alias("score"))
+    if n < 3:
+        return zeros
+    if n_samples is None:
+        vd = diameter_lower_bound(graph, num_samples=8, seed=seed)
+        if vd <= 2:
+            return zeros  # reference: trivial diameter => all-zero scores
+        r = int(
+            math.ceil(
+                (universal_constant / (epsilon * epsilon))
+                * (math.floor(math.log2(vd - 2)) + 1 - math.log(delta))
+            )
+        )
+    else:
+        r = int(n_samples)
+    r = max(r, 1)
+
+    # ---- sample r (u, v) pairs, u != v, seeded (with replacement like the
+    # reference): node-by-rank lookup against a hash-shuffled V
+    ranked = global_row_numbers(
+        graph.V.select("id").withColumn("h", F.xxhash64("id", F.lit(seed))),
+        ["h", "id"],
+        out_col="rk",
+    ).select("rk", "id")
+    samples = spark.range(r).select(F.col("id").alias("sample"))
+    ui = F.pmod(F.abs(F.xxhash64("sample", F.lit(seed), F.lit(1))), F.lit(n))
+    vi_raw = F.pmod(F.abs(F.xxhash64("sample", F.lit(seed), F.lit(2))), F.lit(n - 1))
+    pairs = samples.select(
+        "sample",
+        ui.alias("ui"),
+        # shift the target index past the source index: guarantees v != u
+        F.when(vi_raw >= ui, vi_raw + 1).otherwise(vi_raw).alias("vi"),
+    )
+    pairs = (
+        pairs.join(ranked.select(F.col("rk").alias("ui"), F.col("id").alias("u")), "ui")
+        .join(ranked.select(F.col("rk").alias("vi"), F.col("id").alias("v")), "vi")
+        .select("sample", "u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst").distinct()
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+
+    # ---- forward: per-sample BFS with σ counting, pruned at the target
+    lvl0 = pairs.select("sample", F.col("u").alias("id"), F.lit(1.0).alias("sigma"))
+    lvl0 = lvl0.localCheckpoint(eager=True)
+    levels = [lvl0]
+    visited = lvl0.select("sample", "id").localCheckpoint(eager=True)
+    targets = pairs.select("sample", F.col("v").alias("tid"))
+    # (sample, depth at which the target was reached)
+    found = (
+        lvl0.join(
+            targets, (lvl0["sample"] == targets["sample"]) & (lvl0.id == targets.tid)
+        ).select(lvl0["sample"], F.lit(0).alias("tdepth"))
+    )
+    found = found.limit(0).localCheckpoint(eager=True)  # u != v at depth 0
+    frontier = lvl0
+    for d in range(1, max_depth + 1):
+        fr = frontier.join(found, "sample", "left_anti")
+        if fr.count() == 0:
+            break
+        f = F.broadcast(fr.select("sample", "id", "sigma"))
+        nxt = (
+            edges.join(f, edges.src == f.id)
+            .groupBy("sample", F.col("dst").alias("nid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("nid", "id")
+        )
+        nxt = nxt.join(visited, ["sample", "id"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt.select("sample", "id")).localCheckpoint(
+            eager=True
+        )
+        hit = (
+            nxt.join(
+                targets, (nxt["sample"] == targets["sample"]) & (nxt.id == targets.tid)
+            ).select(nxt["sample"], F.lit(d).alias("tdepth"))
+        )
+        found = found.unionByName(hit).localCheckpoint(eager=True)
+        levels.append(nxt)
+        frontier = nxt
+
+    # ---- backward: every found sample walks one random shortest path
+    # v → u; heads advance one level per superstep
+    heads = (
+        found.join(pairs, "sample")
+        .select("sample", F.col("v").alias("node"), F.col("tdepth").alias("depth"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    increments = []
+    max_d = len(levels) - 1
+    for d in range(max_d, 0, -1):
+        act = heads.filter(F.col("depth") == d)
+        if act.isEmpty():
+            continue
+        act_b = F.broadcast(act.select("sample", "node"))
+        # predecessors: level d-1 nodes with an edge into the head
+        cand = (
+            levels[d - 1]
+            .join(
+                act_b.withColumnRenamed("node", "hnode"),
+                "sample",
+            )
+            .join(
+                edges,
+                (F.col("id") == edges.src) & (F.col("hnode") == edges.dst),
+            )
+            .select("sample", "id", "sigma")
+        )
+        w = Window.partitionBy("sample").orderBy("id")
+        tot = Window.partitionBy("sample")
+        u01 = (
+            F.pmod(
+                F.abs(F.xxhash64("sample", F.lit(seed), F.lit(100 + d))),
+                F.lit(1 << 40),
+            )
+            / F.lit(float(1 << 40))
+        )
+        picked = (
+            cand.withColumn("cum", F.sum("sigma").over(w))
+            .withColumn("tots", F.sum("sigma").over(tot))
+            .withColumn("thr", u01 * F.col("tots"))
+            .filter(F.col("cum") > F.col("thr"))
+            .withColumn("pick_rk", F.row_number().over(w))
+            .filter(F.col("pick_rk") == 1)
+            .select("sample", F.col("id").alias("node"), F.lit(d - 1).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if d - 1 > 0:  # internal node (not the source u): score it
+            increments.append(picked.select("node"))
+        heads = heads.filter(F.col("depth") != d).unionByName(picked).localCheckpoint(
+            eager=True
+        )
+
+    edges.unpersist()
+    if not increments:
+        return zeros
+    inc = increments[0]
+    for more in increments[1:]:
+        inc = inc.unionByName(more)
+    score = inc.groupBy(F.col("node").alias("id")).agg(
+        (F.count("*") / F.lit(float(r))).alias("score")
+    )
+    return graph.V.join(score, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )

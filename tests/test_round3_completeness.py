@@ -226,3 +226,70 @@ def test_read_matrix_market_rejects_bad_header(tmp_path, spark):
     f.write_text("%%NotMatrixMarket foo\n1 1 0\n")
     with pytest.raises(ValueError):
         read_matrix_market(spark, str(f))
+
+
+# -------------------------------------------------- RK approx betweenness
+
+
+def test_approx_betweenness_rk_karate(spark):
+    """RK path-sampling estimator vs exact Brandes on karate: the top
+    exact-BC hub must rank in the approx top-3 at r=400 samples, scores
+    live in [0, 1], and the whole thing is seed-deterministic."""
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.operators.betweenness import (
+        approx_betweenness,
+        betweenness,
+    )
+    from tests.fixtures import KARATE_EDGES, KARATE_N
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    approx = {
+        r["id"]: r["score"]
+        for r in approx_betweenness(g, n_samples=400, seed=7).collect()
+    }
+    assert len(approx) == KARATE_N
+    assert all(0.0 <= s <= 1.0 for s in approx.values())
+    assert sum(approx.values()) > 0
+    exact = {r["id"]: r["score"] for r in betweenness(g).collect()}
+    top_exact = max(exact, key=exact.get)
+    top3_approx = sorted(approx, key=approx.get, reverse=True)[:3]
+    assert top_exact in top3_approx
+    # leaves with zero exact BC stay (near) zero
+    zero_nodes = [i for i, s in exact.items() if s == 0.0]
+    assert all(approx[i] <= 0.05 for i in zero_nodes)
+    # deterministic
+    again = {
+        r["id"]: r["score"]
+        for r in approx_betweenness(g, n_samples=400, seed=7).collect()
+    }
+    assert again == approx
+
+
+def test_approx_betweenness_trivial_diameter_zero(spark):
+    """Reference short-circuit: VD <= 2 (complete graph) => all zeros."""
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.operators.betweenness import approx_betweenness
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = GraphDF.from_edge_list(spark, k4, num_nodes=4)
+    got = {r["id"]: r["score"] for r in approx_betweenness(g, seed=3).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_approx_betweenness_path_graph_epsilon_formula(spark):
+    """On a path graph the middle node lies on the most pairs; the
+    epsilon/delta sample-size formula drives r (no n_samples given)."""
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.operators.betweenness import approx_betweenness
+
+    n = 9
+    g = GraphDF.from_edge_list(
+        spark, [(i, i + 1) for i in range(n - 1)], num_nodes=n
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in approx_betweenness(g, epsilon=0.2, delta=0.1, seed=5).collect()
+    }
+    mid = max(got, key=got.get)
+    assert mid in (3, 4, 5)
+    assert got[0] == 0.0 and got[n - 1] == 0.0  # endpoints never internal

@@ -50,6 +50,11 @@ SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 LSH_PLANES = 4
 LSH_SEED = 42
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_SEED = 42
+BIBFS_PAIRS = [(0, 37), (5, 90), (12, 60), (3, 99)]
+BIBFS_MAXD = 12
 
 
 # ===================================================================== Spark
@@ -698,6 +703,79 @@ def q_knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def q_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: LCG-seeded centroid sample -> nearest-cell
+    assignment -> nprobe-cell search. Fully LCG/SQL-expressible, so unlike
+    the xxhash sign-LSH variant it gets a FULL DuckDB oracle."""
+    from networkit_spark.functions.similarity import knn_ivf
+
+    emb = tg.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = knn_ivf(
+        emb, queries_df, k=5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE, seed=IVF_SEED
+    )
+    return out.select(
+        F.col("qid").cast("long"),
+        F.col("cid").cast("long"),
+        "cos",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("qid", "rank")
+
+
+def q_roc_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC threshold sweep (ROCMetric) over the common-neighbors link
+    predictor on the supplier co-graph: truth = the graph's own edges.
+    Output is the curve at DISTINCT thresholds (block-end cumulative —
+    the tie-order-invariant form, so a DuckDB RANGE-frame window
+    reproduces it exactly). Exercises the two-stage prefix-sum metric
+    path (plans/ranking.prefix_sums_multi) end-to-end. Runs on the sparse
+    transcripts conv graph (the supplier co-graph is near-complete — every
+    pair shares the same score, a one-point curve)."""
+    from networkit_spark.operators.linkprediction import (
+        jaccard_index,
+        roc_points,
+    )
+
+    g = _conv_graph(spark).to_undirected()
+    # Jaccard spreads the thresholds (CN alone yields 3 distinct values
+    # here); round-6 BEFORE the sweep so both engines group identically
+    scores = jaccard_index(g).select("u", "v", F.round("score", 6).alias("score"))
+    truth = (
+        g.E.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    pts = roc_points(scores, truth)
+    return (
+        pts.groupBy("score")
+        .agg(
+            F.round(F.max("tpr"), 6).alias("tpr"),
+            F.round(F.max("fpr"), 6).alias("fpr"),
+        )
+        .select(F.col("score").cast("double").alias("score"), "tpr", "fpr")
+        .orderBy(F.desc("score"))
+    )
+
+
+def q_bidirectional_bfs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-point hop distances via the two-ball BidirectionalBFS —
+    each pair's answer is a distributed two-frontier search; the oracle is
+    a multi-source recursive-CTE BFS truncated at the same bound."""
+    from networkit_spark.operators.bfs import bidirectional_bfs
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    rows = [
+        (int(a), int(b), bidirectional_bfs(g, a, b, max_depth=BIBFS_MAXD))
+        for a, b in BIBFS_PAIRS
+    ]
+    return spark.createDataFrame(
+        rows, "source long, target long, dist long"
+    ).orderBy("source", "target")
+
+
 def q_plm_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain (deterministic synchronous variant) — modularity-gain moves
     aren't SQL-unrollable, so rows-only check; exactness covered by pytest
@@ -772,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "knn_lsh_embeddings": q_knn_lsh_embeddings,
+        "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "roc_transcripts_conv": q_roc_transcripts_conv,
+        "bidirectional_bfs_supplier": q_bidirectional_bfs_supplier,
         "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
         "luby_mis_supplier": q_luby_mis_supplier,
@@ -1943,7 +2024,97 @@ scored AS (
 SELECT id_a, id_b, jaccard FROM scored
 WHERE jaccard >= {NGRAM_THRESHOLD} ORDER BY id_a, id_b
 """,
+        "roc_transcripts_conv": f"""
+WITH {_conv_edges_cte(N_CONVS).strip()},
+{_LINKPRED_BASE.strip()},
+cnj AS (SELECT u, v, COUNT(*) AS c FROM hop2 GROUP BY u, v),
+cn AS (
+  SELECT cnj.u, cnj.v, ROUND(cnj.c / (du.d + dv.d - cnj.c), 6) AS score
+  FROM cnj JOIN deg du ON cnj.u = du.id JOIN deg dv ON cnj.v = dv.id
+),
+ec AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM edges WHERE src != dst),
+labeled AS (
+  SELECT cn.score, CASE WHEN ec.u IS NOT NULL THEN 1 ELSE 0 END AS pos
+  FROM cn LEFT JOIN ec ON cn.u = ec.u AND cn.v = ec.v
+),
+tot AS (SELECT SUM(pos) AS p, SUM(1 - pos) AS n FROM labeled),
+pts AS (
+  SELECT DISTINCT score,
+    SUM(pos) OVER (ORDER BY score DESC) AS ctp,
+    SUM(1 - pos) OVER (ORDER BY score DESC) AS cfp
+  FROM labeled
+)
+SELECT pts.score,
+       ROUND(ctp / GREATEST(tot.p, 1), 6) AS tpr,
+       ROUND(cfp / GREATEST(tot.n, 1), 6) AS fpr
+FROM pts CROSS JOIN tot ORDER BY pts.score DESC
+""",
+        "bidirectional_bfs_supplier": f"""
+WITH RECURSIVE {tg.SUPPLIER_CO_EDGES_CTE.strip()},
+und AS (SELECT src AS a, dst AS b FROM edges WHERE src != dst
+        UNION SELECT dst, src FROM edges WHERE src != dst),
+pairs(s, t) AS (VALUES (CAST(0 AS BIGINT), CAST(37 AS BIGINT)), (CAST(5 AS BIGINT), CAST(90 AS BIGINT)), (CAST(12 AS BIGINT), CAST(60 AS BIGINT)), (CAST(3 AS BIGINT), CAST(99 AS BIGINT))),
+walk(s, id, d) AS (
+  SELECT s, s, CAST(0 AS BIGINT) FROM pairs
+  UNION
+  SELECT walk.s, u.b, walk.d + 1 FROM walk JOIN und u ON u.a = walk.id
+  WHERE walk.d < {BIBFS_MAXD}
+)
+SELECT p.s AS source, p.t AS target, CAST(MIN(w.d) AS BIGINT) AS dist
+FROM pairs p JOIN walk w ON w.s = p.s AND w.id = p.t
+GROUP BY p.s, p.t ORDER BY source, target
+""",
         "knn_lsh_embeddings": _knn_lsh_sql(LSH_PLANES, LSH_SEED),
+        "knn_ivf_embeddings": f"""
+WITH cent AS (
+  SELECT vec_id AS ctid, embedding AS cvv FROM embeddings
+  ORDER BY ((vec_id + {IVF_SEED}) * 1103515245 + 12345) % 2147483648, vec_id
+  LIMIT {IVF_CELLS}
+),
+dims AS (SELECT range AS i FROM range(0, 64)),
+corp_cent AS (
+  SELECT e.vec_id AS cid, c.ctid,
+    SUM(CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cvv[i+1] AS DOUBLE)) AS dot,
+    SUM(CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)) AS na,
+    SUM(CAST(c.cvv[i+1] AS DOUBLE) * CAST(c.cvv[i+1] AS DOUBLE)) AS nb
+  FROM embeddings e CROSS JOIN cent c CROSS JOIN dims
+  GROUP BY cid, ctid
+),
+cellrank AS (
+  SELECT cid, ctid,
+    ROW_NUMBER() OVER (PARTITION BY cid
+      ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, ctid ASC) AS rk
+  FROM corp_cent
+),
+assign AS (SELECT cid, ctid AS cell FROM cellrank WHERE rk = 1),
+probes AS (
+  SELECT cid AS qid, ctid AS cell FROM cellrank
+  WHERE cid < 10 AND rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.qid, a.cid FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.cid != p.qid
+),
+sims AS (
+  SELECT cand.qid, cand.cid,
+    SUM(CAST(qe.embedding[i+1] AS DOUBLE) * CAST(ce.embedding[i+1] AS DOUBLE)) AS dot,
+    SUM(CAST(qe.embedding[i+1] AS DOUBLE) * CAST(qe.embedding[i+1] AS DOUBLE)) AS na,
+    SUM(CAST(ce.embedding[i+1] AS DOUBLE) * CAST(ce.embedding[i+1] AS DOUBLE)) AS nb
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.cid
+  CROSS JOIN dims
+  GROUP BY cand.qid, cand.cid
+),
+ranked AS (
+  SELECT qid, cid, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos,
+    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, cid ASC) AS BIGINT) AS rank
+  FROM sims
+)
+SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
         "wcc_customer_supplier": _wcc_sql(tg.CS_EDGES_CTE.strip()),
         "plp_supplier_co": _plp_sql(tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS),
         "triangles_supplier_co": _triangles_sql(tg.SUPPLIER_CO_EDGES_CTE.strip()),

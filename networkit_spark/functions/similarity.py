@@ -202,3 +202,68 @@ def knn_bruteforce_pandas(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path between sign-LSH and brute force: `n_cells` corpus vectors become
+    coarse centroids (LCG-seeded sample, so the whole index is ANSI-SQL
+    reproducible), every corpus vector is assigned to its nearest centroid
+    by rounded cosine, and a query searches only the union of its `nprobe`
+    nearest cells.
+
+    At scale the cell id is the partition key: the corpus shuffles ONCE at
+    index build (the assignment), and each query's probe is an equi-join on
+    cell — candidates per query ≈ nprobe/n_cells of the corpus, never
+    all-pairs. Centroids are n_cells rows (broadcast metadata). Output
+    schema matches knn_bruteforce; recall < 1 by design (tested vs brute
+    force)."""
+    from pyspark.sql import Window
+
+    A, C, M = 1103515245, 12345, 2147483648
+    lcg = (F.col(id_col).cast("long") + F.lit(seed)) * F.lit(A) + F.lit(C)
+    cents = (
+        corpus.select(F.col(id_col).alias("ctid"), F.col(vec_col).alias("cvv"))
+        .orderBy(F.pmod(lcg.cast("long"), F.lit(M)), F.col("ctid"))
+        .limit(n_cells)
+    )
+
+    def _nearest(side: DataFrame, sid: str, svec: str, rank_to: int, out: str):
+        scored = side.join(F.broadcast(cents)).select(
+            sid,
+            "ctid",
+            F.round(cosine_expr(svec, "cvv"), 6).alias("ccos"),
+        )
+        w = Window.partitionBy(sid).orderBy(F.desc("ccos"), F.asc("ctid"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= rank_to)
+            .select(sid, F.col("ctid").alias(out))
+        )
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assign = c.join(_nearest(c, "cid", "cv", 1, "cell"), "cid")
+    probes = _nearest(q, "qid", "qv", nprobe, "cell")
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cosine_expr("qv", "cv"), 6).alias("cos"))
+    )  # (qid, cid) is unique: one cell per corpus vector, distinct probes
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )

@@ -293,3 +293,34 @@ def test_approx_betweenness_path_graph_epsilon_formula(spark):
     mid = max(got, key=got.get)
     assert mid in (3, 4, 5)
     assert got[0] == 0.0 and got[n - 1] == 0.0  # endpoints never internal
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every cell makes IVF exhaustive: output must equal
+    knn_bruteforce exactly (same rounding + tie-breaks)."""
+    from networkit_spark.functions.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn_bruteforce(emb, queries, k=5).collect()
+    ivf = knn_ivf(emb, queries, k=5, n_cells=8, nprobe=8).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_knn_ivf_recall_and_determinism(spark):
+    from networkit_spark.functions.similarity import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r["qid"], r["cid"]) for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    got = knn_ivf(emb, queries, k=5, n_cells=16, nprobe=6, seed=42).collect()
+    approx = {(r["qid"], r["cid"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # probing 6/16 cells keeps the majority of true top-5
+    again = knn_ivf(emb, queries, k=5, n_cells=16, nprobe=6, seed=42).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))

@@ -542,3 +542,285 @@ def read_matrix_market(spark: SparkSession, path: str) -> GraphDF:
     return GraphDF.from_edges(
         e, directed=not symmetric, weighted=weighted
     )
+
+
+def _gt_width(n: int) -> int:
+    if n < 1 << 8:
+        return 1
+    if n < 1 << 16:
+        return 2
+    if n < 1 << 32:
+        return 4
+    return 8
+
+
+def read_graphtool(spark: SparkSession, path: str) -> GraphDF:
+    """GraphToolBinaryReader (io/GraphToolBinaryReader.cpp:14-110): magic
+    `e2 9b be 20 67 74`, version 0x01, endianness byte, u64-length comment,
+    directed byte, u64 n, then per node a u64 out-degree + width-byte
+    neighbor ids (width = 1/2/4/8 by n). Undirected files store each edge
+    once, in the LARGER endpoint's list (the writer's v <= u rule).
+
+    The format is a single sequential binary stream, so the parse is a
+    driver-side codec (fixture-tier ingest like the reference's own
+    ifstream loop); the resulting edge table is distributed."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:6] != b"\xe2\x9b\xbe\x20\x67\x74" or head[6] != 0x01:
+            raise ValueError("GraphTool header is broken")
+        if head[7] not in (0x00, 0x01):
+            raise ValueError("GraphTool header is broken")
+        bo = "little" if head[7] == 0x00 else "big"
+        clen = int.from_bytes(f.read(8), bo)
+        f.read(clen)  # comment
+        directed = f.read(1) != b"\x00"
+        n = int.from_bytes(f.read(8), bo)
+        width = _gt_width(n)
+        edges = []
+        for u in range(n):
+            deg = int.from_bytes(f.read(8), bo)
+            if deg:
+                blob = f.read(deg * width)
+                for i in range(deg):
+                    v = int.from_bytes(blob[i * width : (i + 1) * width], bo)
+                    edges.append((u, v, 1.0))
+    e = spark.createDataFrame(edges or [], "src long, dst long, weight double")
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=directed, vertices=v)
+
+
+def write_graphtool(graph: GraphDF, path: str) -> None:
+    """GraphToolBinaryWriter (io/GraphToolBinaryWriter.cpp:18-85): same
+    layout, little-endian, empty comment; undirected edges land in the
+    larger endpoint's adjacency (v <= u), directed write full out-lists.
+    Ids are compacted to [0, n) first (the reference's getContinuousNodeIds
+    branch). Single-file binary sink — fixture-tier by definition."""
+    g, _ = graph.compact_node_ids()
+    n = g.V.count()
+    width = _gt_width(n)
+    if graph.directed:
+        rows = g.E.select("src", "dst")
+    else:
+        # canonical storage is src <= dst; the format wants the edge in the
+        # larger endpoint's list
+        rows = g.E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    adj: dict[int, list[int]] = {}
+    for r in rows.orderBy("src", "dst").collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    with open(path, "wb") as f:
+        f.write(b"\xe2\x9b\xbe\x20\x67\x74\x01\x00")
+        f.write((0).to_bytes(8, "little"))  # empty comment
+        f.write(b"\x01" if graph.directed else b"\x00")
+        f.write(int(n).to_bytes(8, "little"))
+        for u in range(n):
+            nb = adj.get(u, [])
+            f.write(len(nb).to_bytes(8, "little"))
+            for v in nb:
+                f.write(int(v).to_bytes(width, "little"))
+
+
+def read_thrill(spark: SparkSession, path: str) -> GraphDF:
+    """ThrillGraphBinaryReader (io/ThrillGraphBinaryReader.cpp:10-90):
+    per node a varint64 degree followed by u32-little-endian neighbor ids;
+    undirected, each edge stored once in the SMALLER endpoint's list
+    (ThrillGraphBinaryWriter's u <= v rule). Driver-side codec like
+    read_graphtool."""
+    edges = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, u, max_id = 0, 0, -1
+    ln = len(data)
+    while pos < ln:
+        deg, shift = 0, 0
+        while True:
+            b = data[pos]
+            pos += 1
+            deg |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift >= 64:
+                raise ValueError("Overflow during variant64 decoding")
+        for _ in range(deg):
+            v = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            edges.append((u, v, 1.0))
+            max_id = max(max_id, v)
+        max_id = max(max_id, u)
+        u += 1
+    n = max(u, max_id + 1)
+    e = spark.createDataFrame(edges or [], "src long, dst long, weight double")
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return GraphDF.from_edges(e, directed=False, vertices=v)
+
+
+def write_thrill(graph: GraphDF, path: str) -> None:
+    """ThrillGraphBinaryWriter (io/ThrillGraphBinaryWriter.cpp:14-55):
+    varint64 degree + u32-LE neighbors, edge in the smaller endpoint's
+    list; rejects graphs over 2^32-1 nodes like the reference."""
+    if graph.directed:
+        raise ValueError("Thrill binary graphs are undirected")
+    g, _ = graph.compact_node_ids()
+    n = g.V.count()
+    if n > (1 << 32) - 1:
+        raise ValueError(
+            "Thrill binary graphs only support graphs with up to 2^32-1 nodes."
+        )
+    adj: dict[int, list[int]] = {}
+    # canonical src <= dst already matches the smaller-endpoint rule
+    for r in g.E.orderBy("src", "dst").collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    with open(path, "wb") as f:
+        for u in range(n):
+            nb = adj.get(u, [])
+            deg = len(nb)
+            if not deg:
+                f.write(b"\x00")
+            while deg:
+                lo = deg & 0x7F
+                deg >>= 7
+                f.write(bytes([lo | (0x80 if deg else 0)]))
+            for v in nb:
+                f.write(int(v).to_bytes(4, "little"))
+
+
+def read_binary_partition(
+    spark: SparkSession, path: str, width: int = 8
+) -> DataFrame:
+    """BinaryPartitionReader (io/BinaryPartitionReader.cpp:13-45): a flat
+    little-endian array of `width`-byte subset ids, position = node id;
+    width must be 4 or 8 like the reference. Driver-side codec → (id,
+    label) DataFrame."""
+    if width not in (4, 8):
+        raise ValueError("Only 4 and 8 are supported widths")
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) % width != 0:
+        raise ValueError("length of partition file must be a multiple of the width")
+    rows = [
+        (u, int.from_bytes(data[u * width : (u + 1) * width], "little"))
+        for u in range(len(data) // width)
+    ]
+    return spark.createDataFrame(rows or [], "id long, label long")
+
+
+def write_binary_partition(
+    partition: DataFrame, path: str, width: int = 8
+) -> None:
+    """BinaryPartitionWriter (io/BinaryPartitionWriter.cpp:13-31): same
+    flat layout; width-4 rejects labels over 2^32-1 like the reference."""
+    if width not in (4, 8):
+        raise ValueError("Only width 4 and 8 are supported")
+    rows = partition.select("id", "label").orderBy("id").collect()
+    with open(path, "wb") as f:
+        for i, r in enumerate(rows):
+            if r["id"] != i:
+                raise ValueError("partition ids must be continuous [0, n)")
+            p = int(r["label"])
+            if width == 4 and p > (1 << 32) - 1:
+                raise ValueError(
+                    "label cannot be represented in width 4; use width 8"
+                )
+            f.write(p.to_bytes(width, "little"))
+
+
+def read_binary_edgelist_partition(
+    spark: SparkSession, path: str, first_node: int = 0, width: int = 8
+) -> DataFrame:
+    """BinaryEdgeListPartitionReader (io/BinaryEdgeListPartitionReader.cpp:
+    13-80): little-endian (node, subset) PAIRS of `width`-byte ints with a
+    firstNode offset."""
+    if width not in (4, 8):
+        raise ValueError("width must be 4 or 8")
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) % (2 * width) != 0:
+        raise ValueError("file must hold (node, partition) pairs")
+    rows = []
+    for off in range(0, len(data), 2 * width):
+        u = int.from_bytes(data[off : off + width], "little") - first_node
+        p = int.from_bytes(data[off + width : off + 2 * width], "little")
+        rows.append((u, p))
+    return spark.createDataFrame(rows or [], "id long, label long")
+
+
+def write_binary_edgelist_partition(
+    partition: DataFrame, path: str, first_node: int = 0, width: int = 8
+) -> None:
+    """BinaryEdgeListPartitionWriter (io/BinaryEdgeListPartitionWriter.cpp):
+    the pair-layout twin of write_binary_partition."""
+    if width not in (4, 8):
+        raise ValueError("width must be 4 or 8")
+    rows = partition.select("id", "label").orderBy("id").collect()
+    with open(path, "wb") as f:
+        for r in rows:
+            f.write((int(r["id"]) + first_node).to_bytes(width, "little"))
+            f.write(int(r["label"]).to_bytes(width, "little"))
+
+
+def write_dot_partition(
+    graph: GraphDF, partition: DataFrame, path: str
+) -> None:
+    """DotPartitionWriter (io/DotPartitionWriter.cpp:8-52): graphviz with
+    filled nodes colored by an evenly spaced hue per non-isolated cluster
+    (hue = idx / #clusters in cluster-id order) and `u -- v;` edges;
+    isolated nodes are skipped like the reference. Node/edge lines are
+    built distributively; single-stream text sink (fixture-tier)."""
+    deg = (
+        graph.E_sym.filter("src != dst")
+        .select(F.col("src").alias("id"))
+        .union(graph.E.filter("src = dst").select(F.col("src").alias("id")))
+        .distinct()
+    )
+    active = partition.join(deg, "id")
+    hues = (
+        active.select("label")
+        .distinct()
+        .orderBy("label")
+        .collect()
+    )  # cluster METADATA, not data
+    factor = 1.0 / max(len(hues), 1)
+    hue_df = F.broadcast(
+        graph.V.sparkSession.createDataFrame(
+            [(r["label"], i * factor) for i, r in enumerate(hues)],
+            "label long, hue double",
+        )
+    )
+    node_lines = active.join(hue_df, "label").select(
+        F.lit(1).alias("ord"),
+        F.col("id").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit(' [style=filled, color="'),
+            F.col("hue").cast("string"),
+            F.lit(',0.99,0.99", label='),
+            F.col("label").cast("string"),
+            F.lit("];"),
+        ).alias("value"),
+    )
+    edge_lines = graph.E.orderBy("src", "dst").select(
+        F.lit(2).alias("ord"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.concat(
+            F.col("src").cast("string"),
+            F.lit(" -- "),
+            F.col("dst").cast("string"),
+            F.lit(";"),
+        ).alias("value"),
+    )
+    spark = graph.V.sparkSession
+    frame = spark.createDataFrame(
+        [(0, 0, 0, "graph {"), (3, 0, 0, "}")],
+        "ord int, k1 long, k2 long, value string",
+    )
+    (
+        frame.unionByName(node_lines)
+        .unionByName(edge_lines)
+        .orderBy("ord", "k1", "k2")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

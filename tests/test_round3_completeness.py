@@ -324,3 +324,138 @@ def test_knn_ivf_recall_and_determinism(spark):
     assert recall >= 0.5  # probing 6/16 cells keeps the majority of true top-5
     again = knn_ivf(emb, queries, k=5, n_cells=16, nprobe=6, seed=42).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_read_gml_reference_fixtures(spark):
+    """The reference's own IOGTest GML fixtures + expectations
+    (io/test/IOGTest.cpp:592-618): 5 nodes, self-loops kept, directedness
+    honored."""
+    und = read_gml(spark, "/root/reference/input/jazz2_undirected.gml")
+    assert und.V.count() == 5 and not und.directed
+    e_u = {(r["src"], r["dst"]) for r in und.E.collect()}
+    assert (0, 2) in e_u and (0, 1) in e_u
+    assert (0, 0) in e_u and (1, 1) in e_u  # self loops preserved
+    d = read_gml(spark, "/root/reference/input/jazz2_directed.gml")
+    assert d.V.count() == 5 and d.directed
+    e_d = {(r["src"], r["dst"]) for r in d.E.collect()}
+    assert (0, 2) in e_d and (2, 0) not in e_d
+    assert (0, 1) in e_d and (1, 0) not in e_d
+    assert (0, 0) in e_d and (1, 1) in e_d
+
+
+# ----------------------------------------------------------- binary formats
+
+
+def test_read_graphtool_power_golden(spark):
+    """IOGTest.cpp:621-628: power.gt has 4941 nodes / 6594 edges,
+    undirected."""
+    from networkit_spark.sources.readers import read_graphtool
+
+    g = read_graphtool(spark, "/root/reference/input/power.gt")
+    assert not g.directed
+    assert g.V.count() == 4941
+    assert g.number_of_edges() == 6594
+
+
+def test_graphtool_roundtrip(tmp_path, spark):
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.sources.readers import read_graphtool, write_graphtool
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 4, 1.0), (0, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    for directed in (False, True):
+        g = GraphDF.from_edges(e, directed=directed)
+        p = str(tmp_path / f"g{int(directed)}.gt")
+        write_graphtool(g, p)
+        h = read_graphtool(spark, p)
+        assert h.directed == directed
+        want = {(r["src"], r["dst"]) for r in g.E.collect()}
+        got = {(r["src"], r["dst"]) for r in h.E.collect()}
+        assert got == want
+
+
+def test_thrill_roundtrip_star(tmp_path, spark):
+    """The reference's own writer/reader test shape (IOGTest.cpp:723-748):
+    a 257-node star centered at 129 — degree > 128 exercises the varint."""
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.sources.readers import read_thrill, write_thrill
+
+    n, center = 257, 129
+    e = spark.createDataFrame(
+        [(u, center, 1.0) for u in range(n) if u != center],
+        "src long, dst long, weight double",
+    )
+    g = GraphDF.from_edges(e, directed=False)
+    p = str(tmp_path / "star.thrill")
+    write_thrill(g, p)
+    h = read_thrill(spark, p)
+    assert h.V.count() == n
+    assert h.number_of_edges() == n - 1
+    want = {(r["src"], r["dst"]) for r in g.E.collect()}
+    got = {(r["src"], r["dst"]) for r in h.E.collect()}
+    assert got == want
+
+
+def test_read_thrill_celegans_matches_metis_twin(spark):
+    """input/celegans_metabolic.thrill is the binary twin of
+    input/celegans_metabolic.graph — both must parse to the same graph."""
+    from networkit_spark.sources.readers import read_metis, read_thrill
+
+    gm = read_metis(spark, "/root/reference/input/celegans_metabolic.graph")
+    gt_ = read_thrill(spark, "/root/reference/input/celegans_metabolic.thrill")
+    assert gt_.V.count() == gm.V.count()
+    em = {(r["src"], r["dst"]) for r in gm.E.collect()}
+    et = {(r["src"], r["dst"]) for r in gt_.E.collect()}
+    assert em == et
+
+
+def test_binary_partition_roundtrip(tmp_path, spark):
+    from networkit_spark.sources.readers import (
+        read_binary_edgelist_partition,
+        read_binary_partition,
+        write_binary_edgelist_partition,
+        write_binary_partition,
+    )
+
+    part = spark.createDataFrame(
+        [(0, 2), (1, 0), (2, 2), (3, 5_000_000_000)], "id long, label long"
+    )
+    p1 = str(tmp_path / "p.bin")
+    write_binary_partition(part, p1, width=8)
+    got = {(r["id"], r["label"]) for r in read_binary_partition(spark, p1, 8).collect()}
+    assert got == {(0, 2), (1, 0), (2, 2), (3, 5_000_000_000)}
+    # width-4 rejects labels over 2^32-1 like the reference
+    with pytest.raises(ValueError):
+        write_binary_partition(part, str(tmp_path / "p4.bin"), width=4)
+    p2 = str(tmp_path / "pe.bin")
+    write_binary_edgelist_partition(part, p2, first_node=1, width=8)
+    got2 = {
+        (r["id"], r["label"])
+        for r in read_binary_edgelist_partition(spark, p2, first_node=1).collect()
+    }
+    assert got2 == got
+
+
+def test_write_dot_partition(tmp_path, spark):
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.sources.readers import write_dot_partition
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    # node 3 is isolated -> skipped like the reference
+    v = spark.createDataFrame([(0,), (1,), (2,), (3,)], "id long")
+    g = GraphDF.from_edges(e, directed=False, vertices=v)
+    part = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, 9), (3, 9)], "id long, label long"
+    )
+    p = str(tmp_path / "p.dot")
+    write_dot_partition(g, part, p)
+    content = _read_text_dir(p)
+    assert content.startswith("graph {\n")
+    assert '0 [style=filled, color="0.0,0.99,0.99", label=7];' in content
+    assert '2 [style=filled, color="0.5,0.99,0.99", label=9];' in content
+    assert "3 [" not in content  # isolated node skipped
+    assert "0 -- 1;" in content and content.rstrip().endswith("}")

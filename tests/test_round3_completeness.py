@@ -459,3 +459,97 @@ def test_write_dot_partition(tmp_path, spark):
     assert '2 [style=filled, color="0.5,0.99,0.99", label=9];' in content
     assert "3 [" not in content  # isolated node skipped
     assert "0 -- 1;" in content and content.rstrip().endswith("}")
+
+
+# ------------------------------------------------------------- GraphML/GEXF
+
+
+def test_graphml_roundtrip(tmp_path, spark):
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.sources.xmlio import read_graphml, write_graphml
+
+    e = spark.createDataFrame(
+        [(0, 1, 2.5), (1, 2, 0.5), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    for directed, weighted in [(False, True), (True, False)]:
+        g = GraphDF.from_edges(e, directed=directed, weighted=weighted)
+        p = str(tmp_path / f"g{int(directed)}{int(weighted)}.graphml")
+        write_graphml(g, p)
+        h = read_graphml(spark, p)
+        assert h.directed == directed and h.weighted == weighted
+        want = {
+            (r["src"], r["dst"], r["weight"] if weighted else 1.0)
+            for r in g.E.collect()
+        }
+        got = {(r["src"], r["dst"], r["weight"]) for r in h.E.collect()}
+        assert got == want
+
+
+def test_read_gexf_static_reference_fixture(spark):
+    """input/staticTest.gexf (the reference's celegans sample,
+    test_graphio.py): static mode -> empty event stream."""
+    from networkit_spark.sources.xmlio import read_gexf
+
+    g, events = read_gexf(spark, "/root/reference/input/staticTest.gexf")
+    assert events.count() == 0
+    assert g.V.count() > 0 and g.number_of_edges() > 0
+
+
+def test_read_gexf_dynamic_reference_fixtures(spark):
+    """The reference's three dynamic fixtures parse into event streams with
+    the GEXFIO invariants: additions precede removals of the same element,
+    TIME_STEP rows delimit distinct timestamps, stream is time-sorted."""
+    from networkit_spark.sources.xmlio import read_gexf
+
+    for fx in ("dynamicTest.gexf", "dynamicTest2.gexf", "dynamicTest3.gexf"):
+        g, events = read_gexf(spark, f"/root/reference/input/{fx}")
+        rows = events.orderBy("seq").collect()
+        assert rows, fx
+        times = [r["t"] for r in rows]
+        assert times == sorted(times), fx
+        n_steps = sum(1 for r in rows if r["type"] == "TIME_STEP")
+        n_distinct_t = len({r["t"] for r in rows if r["type"] != "TIME_STEP"})
+        assert n_steps == max(n_distinct_t - 1, 0), fx
+        # per-edge ordering: a pair's first event is an addition UNLESS the
+        # edge is in the initial graph (end-only spells, GEXFIO case 4)
+        initial = {(r["src"], r["dst"]) for r in g.E.collect()}
+        initial |= {(b, a) for a, b in initial}
+        first = {}
+        for r in rows:
+            if r["type"].startswith("EDGE_") and (r["u"], r["v"]) not in first:
+                first[(r["u"], r["v"])] = r["type"]
+        assert first, fx
+        for (u, v), t in first.items():
+            assert t == "EDGE_ADDITION" or (u, v) in initial, (fx, u, v, t)
+
+
+def test_gexf_roundtrip_static_and_dynamic(tmp_path, spark):
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.sources.xmlio import read_gexf, write_gexf
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=True)
+    p = str(tmp_path / "s.gexf")
+    write_gexf(g, p)
+    h, ev = read_gexf(spark, p)
+    assert ev.count() == 0 and h.directed
+    assert {(r["src"], r["dst"]) for r in h.E.collect()} == {(0, 1), (1, 2)}
+    # dynamic: write a stream, read it back, fold-equivalent invariants
+    events = spark.createDataFrame(
+        [
+            (0, "NODE_ADDITION", 3, 0, 1.0, 1.0),
+            (1, "EDGE_ADDITION", 2, 3, 1.0, 1.0),
+            (2, "TIME_STEP", 0, 0, 0.0, 1.0),
+            (3, "EDGE_REMOVAL", 2, 3, 1.0, 2.0),
+        ],
+        "seq long, type string, u long, v long, w double, t double",
+    )
+    pd_ = str(tmp_path / "d.gexf")
+    write_gexf(g, pd_, events=events)
+    h2, ev2 = read_gexf(spark, pd_)
+    got = [(r["type"], r["u"], r["v"], r["t"]) for r in ev2.orderBy("seq").collect()]
+    assert ("NODE_ADDITION", 3, 0, 1.0) in got
+    assert ("EDGE_REMOVAL", 2, 3, 2.0) in got
+    assert any(t[0] == "TIME_STEP" for t in got)

@@ -55,6 +55,10 @@ IVF_NPROBE = 4
 IVF_SEED = 42
 BIBFS_PAIRS = [(0, 37), (5, 90), (12, 60), (3, 99)]
 BIBFS_MAXD = 12
+KPATH_K = 4              # kpath max walk length
+KPATH_T = 200            # kpath walk count
+KPATH_SEED = 7
+GROUPDEG_K = 3           # group-degree greedy picks
 
 
 # ===================================================================== Spark
@@ -806,6 +810,47 @@ def q_luby_mis_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_independent_set(g).orderBy("id")
 
 
+def q_permanence_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permanence of each supplier w.r.t. the fixed-sweep PLP partition
+    (PermanenceCentrality.cpp:142-160 formula; unweighted neighbor counts)."""
+    from networkit_spark.operators.centrality import permanence_centrality
+    from networkit_spark.operators.plp import plp_fixed
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    labels = plp_fixed(g, iterations=PLP_SWEEPS)
+    return _round6(permanence_centrality(g, labels), "score").orderBy("id")
+
+
+def q_kpath_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPath centrality (KPathCentrality.cpp sampling estimator) on the
+    UNWEIGHTED supplier co-graph — LCG walk choices make the t
+    self-avoiding walks byte-reproducible in plain SQL (CLAUDE.md rule 9;
+    the weighted exponential-race branch is pytest-tier because ln()
+    last-ulp differences across engines could flip argmins)."""
+    from networkit_spark.operators.centrality import kpath_centrality
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir).to_unweighted()
+    out = kpath_centrality(g, k=KPATH_K, num_walks=KPATH_T, seed=KPATH_SEED)
+    return _round6(out, "score").orderBy("id")
+
+
+def q_group_degree_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy GroupDegree group of size k (GroupDegree.cpp objective
+    |S ∪ N(S)|, min-id tie-break) — one row per picked member plus the
+    final coverage score."""
+    from networkit_spark.operators.group import group_degree
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    group, score = group_degree(g, k=GROUPDEG_K, count_group_nodes=True)
+    rows = [(i + 1, int(u), int(score)) for i, u in enumerate(group)]
+    return spark.createDataFrame(
+        rows, "ord long, id long, score long"
+    ).orderBy("ord")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_customer_supplier": q_pagerank_customer_supplier,
@@ -853,6 +898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "roc_transcripts_conv": q_roc_transcripts_conv,
         "bidirectional_bfs_supplier": q_bidirectional_bfs_supplier,
+        "permanence_supplier": q_permanence_supplier,
+        "kpath_supplier": q_kpath_supplier,
+        "group_degree_supplier": q_group_degree_supplier,
         "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
         "luby_mis_supplier": q_luby_mis_supplier,
@@ -1804,6 +1852,145 @@ ORDER BY doc_id
 """
 
 
+def _permanence_sql(edges_cte: str, sweeps: int) -> str:
+    """Permanence vs the unrolled-PLP partition — strength table + internal
+    wedge closure, matching operators/centrality.py permanence_centrality."""
+    parts = _plp_cte_parts(edges_cte, sweeps)
+    parts.append(
+        f"nbl AS (SELECT e.src AS u, e.dst AS v, lu.label AS cu,"
+        f" lv.label AS cv FROM esym e"
+        f" JOIN l{sweeps} lu ON e.src = lu.id"
+        f" JOIN l{sweeps} lv ON e.dst = lv.id WHERE e.src != e.dst),"
+    )
+    parts.append(
+        "strength AS (SELECT u, cu, cv, COUNT(*) AS s FROM nbl"
+        " GROUP BY u, cu, cv),"
+    )
+    parts.append(
+        "per_u AS (SELECT u AS id,"
+        " SUM(CASE WHEN cv = cu THEN s ELSE 0 END) AS internal,"
+        " MAX(CASE WHEN cv <> cu THEN s ELSE 0 END) AS emax,"
+        " SUM(s) AS deg FROM strength GROUP BY u),"
+    )
+    parts.append("inb AS (SELECT u, v FROM nbl WHERE cv = cu),")
+    parts.append(
+        "tri AS (SELECT a.u AS id, COUNT(*) AS tri FROM inb a"
+        " JOIN inb b ON a.u = b.u AND a.v < b.v"
+        " JOIN edges e ON e.src = a.v AND e.dst = b.v GROUP BY a.u)"
+    )
+    parts.append(
+        "SELECT p.id, ROUND("
+        " CAST(p.internal AS DOUBLE) / GREATEST(p.emax, 1) / p.deg"
+        " - (1.0 - CASE WHEN p.internal >= 2"
+        "   THEN COALESCE(t.tri, 0) / (p.internal * (p.internal - 1) / 2.0)"
+        "   ELSE 0.0 END), 6) AS score"
+        " FROM per_u p LEFT JOIN tri t ON p.id = t.id ORDER BY p.id"
+    )
+    return "\n".join(parts)
+
+
+def _kpath_sql(edges_cte: str, k: int, t: int, seed: int) -> str:
+    """Unrolled self-avoiding LCG walks — byte-identical to
+    operators/centrality.py kpath_centrality on an unweighted graph (argmin
+    keys are exact dyadic rationals, so cross-engine comparison is safe)."""
+    M = 2147483648
+
+    def lcg(w: str, j: str, d: str) -> str:
+        return (
+            f"(({w} * 1103515245 + {j} * 12345 + {d} * 2654435761 + {seed})"
+            f" % {M})"
+        )
+
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst FROM edges WHERE src != dst"
+        " UNION ALL SELECT dst, src FROM edges WHERE src != dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "params AS (SELECT COUNT(*) AS n FROM v),",
+        "rnk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx"
+        " FROM v),",
+        f"w0 AS (SELECT t.w, r.id AS cur, [r.id] AS visited,"
+        f" {lcg('t.w', '2', '0')} % {k} + 1 AS len"
+        f" FROM (SELECT unnest(range({t})) AS w) t"
+        f" CROSS JOIN params p"
+        f" JOIN rnk r ON r.idx = {lcg('t.w', '1', '0')} % p.n),",
+    ]
+    for j in range(1, k + 1):
+        key = f"({lcg('x.w', str(j), 'e.dst')} + 0.5) / {M}.0"
+        parts.append(
+            f"c{j} AS (SELECT x.w, e.dst, x.visited, x.len,"
+            f" ROW_NUMBER() OVER (PARTITION BY x.w"
+            f" ORDER BY {key} ASC, e.dst ASC) AS rn"
+            f" FROM w{j-1} x JOIN esym e ON x.cur = e.src"
+            f" WHERE x.len >= {j} AND NOT list_contains(x.visited, e.dst)),"
+        )
+        parts.append(
+            f"w{j} AS ("
+            f" SELECT w, cur, visited, len FROM w{j-1} WHERE len < {j}"
+            f" UNION ALL"
+            f" SELECT w, dst AS cur, list_append(visited, dst) AS visited,"
+            f" len FROM c{j} WHERE rn = 1"
+            f" UNION ALL"
+            f" SELECT x.w, x.cur, x.visited, CAST({j-1} AS BIGINT) AS len"
+            f" FROM w{j-1} x WHERE x.len >= {j}"
+            f" AND NOT EXISTS (SELECT 1 FROM c{j} c WHERE c.w = x.w)),"
+        )
+    parts.append(
+        f"visits AS (SELECT unnest(visited[2:]) AS id FROM w{k}),"
+    )
+    parts.append("cnt AS (SELECT id, COUNT(*) AS c FROM visits GROUP BY id)")
+    parts.append(
+        f"SELECT v.id, ROUND(CAST({k} AS DOUBLE) * p.n * COALESCE(cnt.c, 0)"
+        f" / {t}, 6) AS score"
+        f" FROM v CROSS JOIN params p LEFT JOIN cnt ON v.id = cnt.id"
+        f" ORDER BY v.id"
+    )
+    return "\n".join(parts)
+
+
+def _group_degree_sql(edges_cte: str, k: int) -> str:
+    """Greedy |S ∪ N(S)| max-coverage, k steps unrolled (min-id tie-break),
+    matching operators/group.py group_degree(count_group_nodes=True)."""
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst FROM edges WHERE src != dst"
+        " UNION ALL SELECT dst, src FROM edges WHERE src != dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "grp0 AS (SELECT CAST(NULL AS BIGINT) AS id,"
+        " CAST(NULL AS BIGINT) AS ord WHERE 1 = 0),",
+        "cov0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"gain{i} AS (SELECT n.id,"
+            f" (SELECT COUNT(*) FROM esym e WHERE e.src = n.id"
+            f"  AND e.dst NOT IN (SELECT id FROM cov{i-1}))"
+            f" + (CASE WHEN n.id NOT IN (SELECT id FROM cov{i-1})"
+            f"    THEN 1 ELSE 0 END) AS gain"
+            f" FROM v n WHERE n.id NOT IN (SELECT id FROM grp{i-1})),"
+        )
+        parts.append(
+            f"b{i} AS (SELECT id FROM gain{i}"
+            f" ORDER BY gain DESC, id ASC LIMIT 1),"
+        )
+        parts.append(
+            f"grp{i} AS (SELECT id, ord FROM grp{i-1}"
+            f" UNION ALL SELECT id, CAST({i} AS BIGINT) AS ord FROM b{i}),"
+        )
+        comma = "," if i < k else ""
+        parts.append(
+            f"cov{i} AS (SELECT id FROM cov{i-1}"
+            f" UNION SELECT id FROM b{i}"
+            f" UNION SELECT e.dst FROM esym e"
+            f" WHERE e.src IN (SELECT id FROM b{i})){comma}"
+        )
+    parts.append(
+        f"SELECT g.ord, g.id, (SELECT COUNT(*) FROM cov{k}) AS score"
+        f" FROM grp{k} g ORDER BY g.ord"
+    )
+    return "\n".join(parts)
+
+
 def _oracle_sql_raw() -> dict[str, str]:
     stop5 = ["the", "a", "of", "and", "to"]
     stop_terms = " + ".join(
@@ -1813,6 +2000,15 @@ def _oracle_sql_raw() -> dict[str, str]:
     return {
         "pagerank_customer_supplier": _pagerank_sql(
             tg.CS_EDGES_CTE.strip(), PR_ITERS_CS, DAMPING
+        ),
+        "permanence_supplier": _permanence_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), PLP_SWEEPS
+        ),
+        "kpath_supplier": _kpath_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), KPATH_K, KPATH_T, KPATH_SEED
+        ),
+        "group_degree_supplier": _group_degree_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), GROUPDEG_K
         ),
         # the salted path must produce byte-identical (rounded) results
         "pagerank_cs_salted": _pagerank_sql(

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import GraphDF
@@ -242,3 +242,183 @@ def local_partition_coverage(graph: GraphDF, partition: DataFrame) -> DataFrame:
     return graph.V.join(frac, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def permanence_centrality(graph: GraphDF, partition: DataFrame) -> DataFrame:
+    """PermanenceCentrality (centrality/PermanenceCentrality.cpp:142-160,
+    Chakraborty et al. KDD'14): for node u with community C = P[u],
+
+        perm(u) = I(u) / max(E_max(u), 1) / d(u) − (1 − c_in(u))
+
+    where I(u) = #neighbors in C, E_max(u) = the largest per-foreign-community
+    neighbor count, d(u) = degree, and c_in(u) = fraction of I(u)-neighbor
+    pairs that are themselves adjacent (0 when I(u) < 2,
+    PermanenceCentrality.cpp:137-140).
+
+    Spark shape: one neighbor-label join (|E| rows), a per-(node, community)
+    groupBy for the strength table, and the internal-wedge self-join closed
+    by a semi join against the canonical edge set — the same oriented
+    machinery as triangles.py, but restricted to same-community wedges so
+    the intermediate is Σ I(u)² ≤ Σ d(u)² and community-local (no global
+    wedge blowup on well-mixed partitions). Nodes with degree 0 score 0
+    (the reference never visits them — getPermanence divides by degree;
+    we define 0 to keep the output total)."""
+    lab = partition.select("id", "label")
+    nb = graph.E_sym.filter("src != dst").select("src", "dst")
+    l_u = lab.select(F.col("id").alias("src"), F.col("label").alias("c_u"))
+    l_v = lab.select(F.col("id").alias("dst"), F.col("label").alias("c_v"))
+    nbl = nb.join(l_u, "src").join(l_v, "dst").persist()
+
+    # strength table: neighbors per (u, foreign/own community)
+    strength = nbl.groupBy("src", "c_u", "c_v").agg(F.count("*").alias("s"))
+    per_u = strength.groupBy(F.col("src").alias("id")).agg(
+        F.sum(F.when(F.col("c_v") == F.col("c_u"), F.col("s")).otherwise(0))
+        .alias("internal"),
+        F.max(F.when(F.col("c_v") != F.col("c_u"), F.col("s")).otherwise(0))
+        .alias("emax"),
+        F.sum("s").alias("deg"),
+    )
+
+    # internal clustering: wedges over same-community neighbors, closed by
+    # an existing edge (canonical form) — each internal pair tested once
+    inb = nbl.filter(F.col("c_v") == F.col("c_u")).select("src", "dst")
+    a = inb.select(F.col("src").alias("u"), F.col("dst").alias("y"))
+    b = inb.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    pairs = a.join(b, "u").filter(F.col("y") < F.col("z"))
+    canon = nb.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = (
+        pairs.join(canon, ["y", "z"], "left_semi")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count("*").alias("tri"))
+    )
+
+    out = (
+        per_u.join(tri, "id", "left")
+        .select(
+            "id",
+            (
+                F.col("internal")
+                / F.greatest(F.col("emax"), F.lit(1))
+                / F.col("deg")
+                - (
+                    F.lit(1.0)
+                    - F.when(
+                        F.col("internal") >= 2,
+                        F.coalesce(F.col("tri"), F.lit(0))
+                        / (F.col("internal") * (F.col("internal") - 1) / 2.0),
+                    ).otherwise(F.lit(0.0))
+                )
+            ).alias("score"),
+        )
+    )
+    # nbl stays persisted until evaluation (lazy result reads it twice);
+    # LRU eviction reclaims it after the action
+    return graph.V.join(out, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def kpath_centrality(
+    graph: GraphDF,
+    alpha: float = 0.2,
+    k: int = 0,
+    num_walks: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """KPathCentrality (centrality/KPathCentrality.cpp:33-100,
+    Alahakoon et al.): t self-avoiding random walks of random length
+    ≤ k; score(v) = k·n·visits(v)/t. Reference defaults: k = ln(n+m),
+    t = 2k²·n^(1−2α)·ln n (KPathCentrality.cpp:45).
+
+    Distributed shape: ALL t walkers advance in the same superstep — a
+    walker table (walk, cur, visited array, len) joined against the
+    adjacency each step; the per-walker neighbor choice is the argmin of
+    a seeded LCG key (weighted graphs: exponential race −ln(u)·w ⇒
+    P ∝ 1/w, matching the reference's inverse-weight sampling,
+    KPathCentrality.cpp:72-84). k supersteps total, lineage truncated per
+    step. The LCG keys make runs reproducible AND re-derivable in plain
+    SQL/python (CLAUDE.md rule 9); the reference uses its global RNG —
+    per-run nondeterministic, so parity is distributional, not exact."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    spark = graph.V.sparkSession
+    n = graph.number_of_nodes()
+    m = graph.number_of_edges()
+    if k <= 0:
+        k = max(1, int(math.log(n + m)))
+    if num_walks is None:
+        num_walks = max(1, int(2.0 * k * k * n ** (1 - 2 * alpha) * math.log(n)))
+    t = num_walks
+
+    e = graph.E if graph.directed else graph.E_sym
+    nb = e.filter("src != dst").select(
+        "src", "dst", (F.col("weight") if "weight" in e.columns else F.lit(1.0)).alias("w")
+    ).distinct()
+    nb = nb.repartition("src").sortWithinPartitions("src").persist()
+    nb.count()
+
+    ranked = global_row_numbers(graph.V.select("id"), ["id"], out_col="idx")
+    lcg = lambda *cols: F.pmod(
+        sum(c * F.lit(m_) for c, m_ in zip(cols, (1103515245, 12345, 2654435761)))
+        + F.lit(seed),
+        F.lit(2147483648),
+    )
+    starts = spark.range(t).select(
+        F.col("id").alias("walk"),
+        F.pmod(lcg(F.col("id"), F.lit(1), F.lit(0)), F.lit(n)).alias("idx"),
+        (F.pmod(lcg(F.col("id"), F.lit(2), F.lit(0)), F.lit(k)) + 1).alias("len"),
+    )
+    walkers = (
+        starts.join(ranked, "idx")
+        .select(
+            "walk",
+            F.col("id").alias("cur"),
+            F.array(F.col("id")).alias("visited"),
+            "len",
+        )
+        .localCheckpoint(eager=True)
+    )
+    visits = spark.createDataFrame([], "id long")
+    for j in range(1, k + 1):
+        alive = walkers.filter(F.col("len") >= j)
+        if alive.count() == 0:
+            break
+        cands = alive.join(
+            nb.withColumnRenamed("src", "cur"), "cur"
+        ).filter(~F.array_contains(F.col("visited"), F.col("dst")))
+        u01 = (lcg(F.col("walk"), F.lit(j), F.col("dst")) + 0.5) / F.lit(2147483648.0)
+        key = F.when(F.lit(graph.weighted), -F.log(u01) * F.col("w")).otherwise(u01)
+        chosen = (
+            cands.withColumn("key", key)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("walk").orderBy(F.asc("key"), F.asc("dst"))
+                ),
+            )
+            .filter("rn = 1")
+        )
+        stepped = chosen.select(
+            "walk",
+            F.col("dst").alias("cur"),
+            F.array_union("visited", F.array("dst")).alias("visited"),
+            "len",
+        ).localCheckpoint(eager=True)
+        visits = visits.unionByName(
+            stepped.select(F.col("cur").alias("id"))
+        ).localCheckpoint(eager=True)
+        # walkers that found no unexplored neighbor stop (drop out)
+        walkers = stepped.unionByName(
+            walkers.filter(F.col("len") < j)
+        ).localCheckpoint(eager=True)
+    counts = visits.groupBy("id").agg(F.count("*").alias("c"))
+    out = graph.V.join(counts, "id", "left").select(
+        "id",
+        (F.lit(float(k) * n) * F.coalesce("c", F.lit(0)) / F.lit(float(t))).alias(
+            "score"
+        ),
+    )
+    nb.unpersist()
+    return out

@@ -59,6 +59,12 @@ KPATH_K = 4              # kpath max walk length
 KPATH_T = 200            # kpath walk count
 KPATH_SEED = 7
 GROUPDEG_K = 3           # group-degree greedy picks
+SP_SOURCE = 133          # all-simple-paths endpoints on the conv graph
+SP_TARGET = 230
+SP_CUTOFF = 5
+VOL_R = 2                # volume ball radius (hops)
+VOL_SAMPLES = 25
+VOL_SEED = 5
 
 
 # ===================================================================== Spark
@@ -851,6 +857,32 @@ def q_group_degree_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ord")
 
 
+def q_simple_paths_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All simple paths SP_SOURCE→SP_TARGET (≤ SP_CUTOFF edges) on the
+    directed conv-adjacency graph — paths rendered as '-'-joined strings
+    so the value hash is engine-neutral."""
+    from networkit_spark.operators.bfs import all_simple_paths
+
+    tune_for_iteration(spark)
+    g = _conv_graph(spark)
+    paths = all_simple_paths(g, SP_SOURCE, SP_TARGET, cutoff=SP_CUTOFF)
+    return paths.select(
+        F.array_join("path", "-").alias("path_str"),
+        (F.size("path") - 1).cast("long").alias("hops"),
+    ).orderBy("path_str")
+
+
+def q_volume_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume (avg |ball(u, r)| over LCG-sampled nodes, Volume.cpp:40-46)
+    of the unweighted directed conv graph."""
+    from networkit_spark.operators.bfs import volume
+
+    tune_for_iteration(spark)
+    g = _conv_graph(spark).to_unweighted()
+    val = volume(g, r=VOL_R, samples=VOL_SAMPLES, seed=VOL_SEED)
+    return spark.createDataFrame([(round(val, 6),)], "volume double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_customer_supplier": q_pagerank_customer_supplier,
@@ -901,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permanence_supplier": q_permanence_supplier,
         "kpath_supplier": q_kpath_supplier,
         "group_degree_supplier": q_group_degree_supplier,
+        "simple_paths_conv": q_simple_paths_conv,
+        "volume_conv": q_volume_conv,
         "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
         "luby_mis_supplier": q_luby_mis_supplier,
@@ -2010,6 +2044,47 @@ def _oracle_sql_raw() -> dict[str, str]:
         "group_degree_supplier": _group_degree_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), GROUPDEG_K
         ),
+        "simple_paths_conv": f"""
+WITH RECURSIVE {_conv_edges_cte(N_CONVS).strip()},
+walk(path, cur) AS (
+  SELECT [CAST({SP_SOURCE} AS BIGINT)], CAST({SP_SOURCE} AS BIGINT)
+  UNION ALL
+  SELECT list_append(w.path, e.dst), e.dst
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE len(w.path) <= {SP_CUTOFF}
+    AND w.cur != {SP_TARGET}
+    AND NOT list_contains(w.path, e.dst)
+)
+SELECT array_to_string(path, '-') AS path_str,
+       CAST(len(path) - 1 AS BIGINT) AS hops
+FROM walk WHERE cur = {SP_TARGET}
+ORDER BY path_str
+""",
+        "volume_conv": f"""
+WITH {_conv_edges_cte(N_CONVS).strip()},
+v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+params AS (SELECT COUNT(*) AS n FROM v),
+rnk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx FROM v),
+picks AS (
+  SELECT r.id
+  FROM (SELECT unnest(range({VOL_SAMPLES})) AS i) s
+  CROSS JOIN params p
+  JOIN rnk r ON r.idx =
+    ((s.i * 1103515245 + 12345 + {VOL_SEED}) % 2147483648) % p.n
+),
+srcs AS (SELECT DISTINCT id FROM picks),
+r1 AS (SELECT s.id AS src0, e.dst FROM srcs s JOIN edges e ON e.src = s.id),
+r2 AS (SELECT r1.src0, e.dst FROM r1 JOIN edges e ON e.src = r1.dst),
+ball AS (
+  SELECT src0, COUNT(DISTINCT v) AS ball FROM (
+    SELECT id AS src0, id AS v FROM srcs
+    UNION ALL SELECT src0, dst AS v FROM r1
+    UNION ALL SELECT src0, dst AS v FROM r2
+  ) GROUP BY src0
+)
+SELECT ROUND(SUM(b.ball) * 1.0 / {VOL_SAMPLES}, 6) AS volume
+FROM picks p JOIN ball b ON b.src0 = p.id
+""",
         # the salted path must produce byte-identical (rounded) results
         "pagerank_cs_salted": _pagerank_sql(
             tg.CS_EDGES_CTE.strip(), PR_ITERS_CS, DAMPING

@@ -413,3 +413,102 @@ def effective_diameter_approx(
     return effective_diameter_sketch(
         graph, ratio=ratio, replicas=replicas, seed=seed
     )
+
+
+def all_simple_paths(
+    graph: GraphDF, source: int, target: int, cutoff: int
+) -> DataFrame:
+    """AllSimplePaths (distance/AllSimplePaths.cpp:15-120): every simple
+    path source→target with ≤ `cutoff` edges, as (path: array<long>).
+
+    The reference prunes its DFS with a reverse BFS from the target
+    (:40-81); the distributed shape keeps exactly that prune: a frontier
+    of partial paths (array column) extends one hop per superstep, and a
+    candidate hop to w survives only if |path| + d(w → target) ≤ cutoff —
+    so the frontier holds only prefixes of ACTUAL answers plus their
+    boundary, never the full simple-path explosion. Lineage truncated per
+    superstep. Inherently output-bound (#paths can be exponential —
+    SURVEY lists the operator as such); the cutoff is the contract."""
+    if source == target:
+        raise ValueError("source is equal to the target (AllSimplePaths.cpp:28-30)")
+    if cutoff < 1:
+        raise ValueError("cutoff = 0 (AllSimplePaths.cpp:31-33)")
+    spark = graph.V.sparkSession
+    e = graph.E if graph.directed else graph.E_sym
+    nb = e.filter("src != dst").select("src", "dst").distinct()
+    nb = nb.repartition("src").sortWithinPartitions("src").persist()
+    nb.count()
+
+    # reverse BFS from target: d(w → target), depth-capped at cutoff
+    rgraph = graph.transpose() if graph.directed else graph
+    dist_t = (
+        bfs_distances(rgraph, [target], max_depth=cutoff)
+        .select(F.col("id").alias("dst"), F.col("dist").alias("dt"))
+    )
+    dist_t = F.broadcast(dist_t)
+
+    frontier = spark.createDataFrame(
+        [([source],)], "path array<long>"
+    ).localCheckpoint(eager=True)
+    done = spark.createDataFrame([], "path array<long>")
+    for step in range(1, cutoff + 1):
+        if frontier.count() == 0:
+            break
+        ext = (
+            frontier.withColumn("cur", F.element_at("path", -1))
+            .join(nb, F.col("cur") == F.col("src"))
+            .filter(~F.array_contains("path", F.col("dst")))
+            .join(dist_t, "dst")
+            .filter(F.lit(step) + F.col("dt") <= F.lit(cutoff))
+            .select(F.concat("path", F.array("dst")).alias("path"), "dst")
+        ).localCheckpoint(eager=True)
+        done = done.unionByName(
+            ext.filter(F.col("dst") == target).select("path")
+        ).localCheckpoint(eager=True)
+        frontier = ext.filter(F.col("dst") != target).select("path")
+    nb.unpersist()
+    return done
+
+
+def volume(
+    graph: GraphDF, r: float, samples: int, seed: int = 42
+) -> float:
+    """Volume (distance/Volume.cpp:40-46, Mocnik): average number of nodes
+    within shortest-path distance ≤ r of a sampled node (the sample itself
+    included). Samples are LCG-chosen (cross-engine reproducible; the
+    reference uses its global RNG). Unweighted graphs: hop-bounded batched
+    BFS; weighted: depth-bounded batched Bellman-Ford relaxation — true
+    shortest distances, whereas the reference's expansion (:14-38) never
+    re-expands an improved node; equal on unweighted graphs, documented
+    divergence on weighted ones."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    spark = graph.V.sparkSession
+    n = graph.number_of_nodes()
+    if n == 0 or samples <= 0:
+        return 0.0
+    ranked = global_row_numbers(graph.V.select("id"), ["id"], out_col="idx")
+    picks = spark.range(samples).select(
+        F.pmod(
+            (F.col("id") * F.lit(1103515245) + F.lit(12345 + seed)),
+            F.lit(2147483648),
+        ).alias("h")
+    ).select(F.pmod(F.col("h"), F.lit(n)).alias("idx"))
+    # samples are drawn WITH replacement (reference semantics): BFS once
+    # per distinct source, then rejoin so repeated draws count repeatedly
+    sources = picks.join(ranked, "idx").select("id")
+    if not graph.weighted:
+        dist = bfs_distances(
+            graph, sources.distinct(), max_depth=max(int(r), 0)
+        )
+    else:
+        dist = sssp_multi_distances(graph, sources.distinct())
+    per_src = dist.filter(F.col("dist") <= r).groupBy("source").agg(
+        F.count("*").alias("ball")
+    )
+    total = (
+        sources.join(per_src, sources.id == per_src.source)
+        .agg(F.sum("ball"))
+        .collect()[0][0]
+    )
+    return float(total or 0.0) / samples

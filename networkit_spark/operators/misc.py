@@ -328,3 +328,95 @@ def algebraic_distance_edges(
     )
     e.unpersist()
     return out
+
+
+def path_growing_matching(graph: GraphDF) -> DataFrame:
+    """PathGrowingMatcher (matching/PathGrowingMatcher.cpp:25-120,
+    Drake–Hougardy): grow vertex-disjoint paths by repeatedly taking the
+    heaviest alive incident edge, 2-coloring each path's edges into two
+    candidate matchings, keep the heavier. 1/2-approximation.
+
+    The algorithm is a PQ-driven sequential loop — the reference's own
+    structure. Distributed decomposition: matchings never cross connected
+    components, so each WCC component runs the EXACT reference loop
+    locally inside groupBy(component).applyInPandas (components in
+    parallel; LocalMaxMatcher in this module is the fully-parallel scale
+    path for giant components — declared). Deterministic contract: start
+    vertex = (min alive degree, min id); heaviest edge ties → min
+    neighbor id; the better of m1/m2 picked PER COMPONENT (dominates the
+    reference's single global pick, same guarantee).
+
+    Returns (src, dst, weight) matched canonical edges. Raises on
+    self-loops like the reference (:14-16)."""
+    import heapq
+
+    import pandas as pd
+
+    from networkit_spark.operators.components import connected_components
+
+    if graph.number_of_self_loops() > 0:
+        raise ValueError(
+            "G has self-loops and cannot be processed "
+            "(PathGrowingMatcher.cpp:14-16)"
+        )
+    canon = (
+        graph.E.filter("src != dst")
+        .groupBy(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .agg(F.max("weight").alias("weight"))
+    )
+    comp = connected_components(graph).select(
+        F.col("id").alias("src"), F.col("component").alias("component")
+    )
+    keyed = canon.join(comp, "src")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        w: dict = {}
+        for s, d, wt in pdf[["src", "dst", "weight"]].itertuples(index=False):
+            s, d, wt = int(s), int(d), float(wt)
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+            w[(min(s, d), max(s, d))] = wt
+        alive = set(adj)
+        deg = {u: len(adj[u]) for u in adj}
+        pq = [(deg[u], u) for u in adj]
+        heapq.heapify(pq)
+        m = [set(), set()]
+        mw = [0.0, 0.0]
+        while alive:
+            while pq and (pq[0][1] not in alive or deg[pq[0][1]] != pq[0][0]):
+                heapq.heappop(pq)
+            if not pq:
+                break
+            v = heapq.heappop(pq)[1]
+            take = 0
+            while v is not None and deg.get(v, 0) > 0:
+                best, best_w = None, -1.0
+                for u in adj[v]:
+                    if u in alive:
+                        wt = w[(min(u, v), max(u, v))]
+                        if wt > best_w or (wt == best_w and u < best):
+                            best, best_w = u, wt
+                e = (min(v, best), max(v, best))
+                m[take].add(e)
+                mw[take] += best_w
+                take = 1 - take
+                # delete v
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+                        heapq.heappush(pq, (deg[u], u))
+                v = best if best in alive else None
+            if v is not None:
+                alive.discard(v)
+        win = m[0] if mw[0] >= mw[1] else m[1]
+        rows = [(s, d, w[(s, d)]) for s, d in sorted(win)]
+        return pd.DataFrame(rows, columns=["src", "dst", "weight"])
+
+    return keyed.groupBy("component").applyInPandas(
+        run, "src long, dst long, weight double"
+    )

@@ -260,6 +260,7 @@ def approx_betweenness(
     seed: int = 42,
     n_samples: int | None = None,
     max_depth: int = 10_000,
+    return_internals: bool = False,
 ) -> DataFrame:
     """ApproxBetweenness (centrality/ApproxBetweenness.cpp:30-110) — the
     Riondato-Kornaropoulos path-sampling estimator: r = ⌈(c/ε²)(⌊log₂(VD−2)⌋
@@ -284,12 +285,14 @@ def approx_betweenness(
     spark = graph.V.sparkSession
     n = graph.number_of_nodes()
     zeros = graph.V.select("id", F.lit(0.0).alias("score"))
+    empty_inc = spark.createDataFrame([], "sample long, node long")
     if n < 3:
-        return zeros
+        return empty_inc if return_internals else zeros
     if n_samples is None:
         vd = diameter_lower_bound(graph, num_samples=8, seed=seed)
         if vd <= 2:
-            return zeros  # reference: trivial diameter => all-zero scores
+            # reference: trivial diameter => all-zero scores
+            return empty_inc if return_internals else zeros
         r = int(
             math.ceil(
                 (universal_constant / (epsilon * epsilon))
@@ -419,20 +422,89 @@ def approx_betweenness(
             .localCheckpoint(eager=True)
         )
         if d - 1 > 0:  # internal node (not the source u): score it
-            increments.append(picked.select("node"))
+            increments.append(picked.select("sample", "node"))
         heads = heads.filter(F.col("depth") != d).unionByName(picked).localCheckpoint(
             eager=True
         )
 
     edges.unpersist()
     if not increments:
-        return zeros
+        return empty_inc if return_internals else zeros
     inc = increments[0]
     for more in increments[1:]:
         inc = inc.unionByName(more)
+    if return_internals:
+        return inc
     score = inc.groupBy(F.col("node").alias("id")).agg(
         (F.count("*") / F.lit(float(r))).alias("score")
     )
     return graph.V.join(score, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def approx_group_betweenness(
+    graph: GraphDF,
+    group_size: int,
+    epsilon: float = 0.5,
+    seed: int = 42,
+    n_samples: int | None = None,
+) -> list[int]:
+    """ApproxGroupBetweenness (centrality/ApproxGroupBetweenness.cpp:37-137,
+    Mahmoody–Tsourakakis–Upfal): sample groupSize·ln(n)/ε² (s,t) pairs
+    (:42), draw ONE random shortest path each, form a hyperedge from its
+    internal nodes, then greedily pick the k nodes covering the most
+    still-uncovered hyperedges.
+
+    Path sampling reuses approx_betweenness's batched machinery (all
+    samples BFS + walk back in shared supersteps) — our walk is σ-weighted,
+    i.e. properly uniform over shortest paths, where the reference's
+    uniform-predecessor walk is only approximately so (:72-76, documented
+    divergence). The greedy cover is one groupBy per pick with the
+    still-uncovered hyperedges anti-joined out; min-id tie-break."""
+    n = graph.number_of_nodes()
+    if graph.directed:
+        raise ValueError("the graph must be undirected (ApproxGroupBetweenness.cpp:24-26)")
+    if group_size <= 0 or group_size >= max(n, 1):
+        raise ValueError("the group size must be between 1 and n-1 (:27-30)")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be greater than 0 (:31-33)")
+    import math as _math
+
+    if n_samples is None:
+        n_samples = max(
+            1, int(group_size * _math.log(max(n, 2)) / (epsilon * epsilon))
+        )
+    inc = approx_betweenness(
+        graph, seed=seed, n_samples=n_samples, return_internals=True
+    ).persist()
+    inc.count()
+    spark = graph.V.sparkSession
+    group: list[int] = []
+    covered = spark.createDataFrame([], "sample long")
+    for _ in range(group_size):
+        rem = inc.join(F.broadcast(covered), "sample", "left_anti")
+        if group:
+            rem = rem.filter(~F.col("node").isin(group))
+        gains = rem.groupBy("node").agg(
+            F.countDistinct("sample").alias("gain")
+        )
+        top = gains.orderBy(F.desc("gain"), F.asc("node")).limit(1).collect()
+        if not top:
+            # hyperedges exhausted: fill with smallest unused ids
+            # (reference keeps extracting zero-degree PQ entries)
+            rest = (
+                graph.V.filter(~F.col("id").isin(group) if group else F.lit(True))
+                .orderBy("id")
+                .limit(group_size - len(group))
+                .collect()
+            )
+            group.extend(int(r["id"]) for r in rest)
+            break
+        u = int(top[0]["node"])
+        group.append(u)
+        covered = covered.unionByName(
+            inc.filter(F.col("node") == u).select("sample").distinct()
+        ).localCheckpoint(eager=True)
+    inc.unpersist()
+    return group

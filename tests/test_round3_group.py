@@ -261,3 +261,33 @@ def test_kpath_defaults_shape(spark, karate):
     out = kpath_centrality(karate, k=3, num_walks=50).collect()
     assert len(out) == KARATE_N
     assert all(r["score"] >= 0.0 for r in out)
+
+
+# ------------------------------------------------- approx group betweenness
+def test_approx_group_betweenness_star(spark):
+    from networkit_spark.operators.betweenness import approx_group_betweenness
+
+    star = [(0, i) for i in range(1, 12)]
+    g = GraphDF.from_edge_list(spark, star, num_nodes=12)
+    group = approx_group_betweenness(g, group_size=2, seed=3, n_samples=40)
+    # every leaf-to-leaf shortest path passes through the hub
+    assert group[0] == 0
+    assert len(group) == 2 and len(set(group)) == 2
+
+
+def test_approx_group_betweenness_karate(spark, karate):
+    from networkit_spark.operators.betweenness import approx_group_betweenness
+
+    g1 = approx_group_betweenness(karate, group_size=3, seed=9, n_samples=60)
+    g2 = approx_group_betweenness(karate, group_size=3, seed=9, n_samples=60)
+    assert g1 == g2  # deterministic under a fixed seed
+    assert len(g1) == 3 and len(set(g1)) == 3
+
+
+def test_approx_group_betweenness_validates(spark, karate):
+    from networkit_spark.operators.betweenness import approx_group_betweenness
+
+    with pytest.raises(ValueError):
+        approx_group_betweenness(karate, group_size=0)
+    with pytest.raises(ValueError):
+        approx_group_betweenness(karate, group_size=2, epsilon=-1.0)

@@ -119,3 +119,23 @@ def effective_diameter_sketch(
             return (h - 1) + (target - prev) / gain
         prev = val
     return float(len(nf))
+
+
+def hop_plot_approx(
+    graph: GraphDF,
+    max_hops: int = 32,
+    replicas: int = 8,
+    seed: int = 42,
+) -> list[float]:
+    """HopPlotApproximation (distance/HopPlotApproximation.cpp): the
+    approximate fraction of connected ordered pairs within distance ≤ h,
+    one entry per hop, from the same Flajolet–Martin sketch as
+    neighborhood_function_approx: frac(h) = NF(h)/NF(∞) — the scale path,
+    no n² state."""
+    nf = neighborhood_function_approx(
+        graph, max_hops=max_hops, replicas=replicas, seed=seed
+    )
+    if not nf or nf[-1] <= 0:
+        return []
+    total = nf[-1]
+    return [x / total for x in nf]

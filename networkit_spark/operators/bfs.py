@@ -512,3 +512,39 @@ def volume(
         .collect()[0][0]
     )
     return float(total or 0.0) / samples
+
+
+def reverse_bfs_from(graph: GraphDF, source: int) -> DataFrame:
+    """ReverseBFS (distance/BFS.cpp reverse mode): hop distances following
+    IN-edges — BFS on the transpose (undirected: identical to bfs_from)."""
+    g = graph.transpose() if graph.directed else graph
+    return bfs_from(g, source)
+
+
+def graph_distance(graph: GraphDF, u: int, v: int) -> float:
+    """GraphDistance (distance/GraphDistance.cpp:13-28): the u→v shortest
+    distance — weighted graphs via the batched Bellman-Ford relax
+    (Dijkstra semantics), unweighted via BFS; +inf when unreached."""
+    if graph.weighted:
+        d = sssp_multi_distances(graph, [int(u)])
+    else:
+        d = bfs_distances(graph, [int(u)])
+    row = d.filter(F.col("id") == int(v)).select("dist").collect()
+    return float(row[0]["dist"]) if row else float("inf")
+
+
+def neighborhood_function_exact(graph: GraphDF, max_depth: int = 10_000) -> DataFrame:
+    """NeighborhoodFunction (distance/NeighborhoodFunction.cpp): (h, count)
+    — number of ordered pairs within distance ≤ h, h = 1..diameter. Exact
+    tier: one batched all-sources BFS (O(n²/p) state like exact APSP —
+    declared; the ANF sketch in anf.py is the scale path)."""
+    dist = bfs_distances(graph, graph.V.select("id"), max_depth=max_depth)
+    per_h = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy(F.col("dist").alias("h"))
+        .agg(F.count("*").alias("new_pairs"))
+    )
+    from networkit_spark.plans.ranking import prefix_sums
+
+    cum = prefix_sums(per_h, "h", "new_pairs")
+    return cum.select("h", F.col("hi").alias("count")).orderBy("h")

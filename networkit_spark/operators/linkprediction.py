@@ -382,3 +382,42 @@ def link_thresholder(
     if upper is not None:
         out = out.filter(F.col("score") <= upper)
     return out.select("u", "v")
+
+
+def algebraic_distance_index(
+    graph: GraphDF,
+    systems: int = 8,
+    iterations: int = 30,
+    omega: float = 0.5,
+    norm: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """AlgebraicDistanceIndex (linkprediction/AlgebraicDistanceIndex.cpp:
+    14-60): p-norm distance between the smoothed test-vector loads of the
+    two endpoints, over the standard two-hop candidate pairs. Loads come
+    from misc.algebraic_loads (one |E| join per smoothing iteration,
+    shared with the edge attributizer); the reference's random init is its
+    RNG — ours is the seeded hash (deterministic contract)."""
+    from networkit_spark.operators.misc import algebraic_loads
+
+    x = algebraic_loads(graph, systems, iterations, omega, seed)
+    xs = x.select(
+        F.col("id").alias("u"),
+        *[F.col(f"x{d}").alias(f"a{d}") for d in range(systems)],
+    )
+    xd = x.select(
+        F.col("id").alias("v"),
+        *[F.col(f"x{d}").alias(f"b{d}") for d in range(systems)],
+    )
+    pairs = two_hop_pairs(graph).select("u", "v")
+    powed = sum(
+        F.pow(F.abs(F.col(f"a{d}") - F.col(f"b{d}")), float(norm))
+        for d in range(systems)
+    )
+    return (
+        pairs.join(xs, "u")
+        .join(xd, "v")
+        .select(
+            "u", "v", F.pow(powed, 1.0 / float(norm)).alias("score")
+        )
+    )

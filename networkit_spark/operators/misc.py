@@ -62,11 +62,22 @@ def adamic_adar_distance_edges(graph: GraphDF) -> DataFrame:
     )
 
 
-def minimum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
+def minimum_spanning_forest(
+    graph: GraphDF,
+    max_rounds: int = 64,
+    descending: bool = False,
+    tie_hash_seed: int | None = None,
+) -> DataFrame:
     """KruskalMSF/SpanningForest analog via Borůvka rounds: each component
     picks its minimum incident edge (deterministic (weight, src, dst)
     tie-break), components merge, repeat — O(log n) rounds, join+groupBy
-    only. Returns the forest's edge set (src, dst, weight)."""
+    only. Returns the forest's edge set (src, dst, weight).
+
+    `descending=True` picks MAXIMUM edges (max spanning forest);
+    `tie_hash_seed` inserts a seeded-hash tie-break among equal weights
+    BEFORE the id tie-break (RandomMaximumSpanningForest's shuffle,
+    reproducible) — distinct effective keys are exactly Borůvka's
+    correctness condition."""
     e = (
         graph.E_sym.filter("src != dst")
         .select("src", "dst", "weight")
@@ -85,11 +96,19 @@ def minimum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
         # min incident edge per component (deterministic tie-break)
         from pyspark.sql import Window
 
-        w = Window.partitionBy("c_src").orderBy(
-            F.asc("weight"),
-            F.asc(F.least("src", "dst")),
-            F.asc(F.greatest("src", "dst")),
-        )
+        order = [F.desc("weight") if descending else F.asc("weight")]
+        if tie_hash_seed is not None:
+            order.append(
+                F.asc(
+                    F.xxhash64(
+                        F.least("src", "dst"),
+                        F.greatest("src", "dst"),
+                        F.lit(tie_hash_seed),
+                    )
+                )
+            )
+        order += [F.asc(F.least("src", "dst")), F.asc(F.greatest("src", "dst"))]
+        w = Window.partitionBy("c_src").orderBy(*order)
         picks = (
             ec.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1")
@@ -260,16 +279,14 @@ def local_max_matching(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
     return matched
 
 
-def algebraic_distance_edges(
-    graph: GraphDF, systems: int = 4, iterations: int = 10, omega: float = 0.5,
-    seed: int = 42,
+def algebraic_loads(
+    graph: GraphDF, systems: int, iterations: int, omega: float, seed: int
 ) -> DataFrame:
-    """AlgebraicDistance (distance/AlgebraicDistance.cpp) as an edge
-    attributizer: D seeded test vectors in [0,1], smoothed
-        x' = (1−ω)·x + ω·(weighted neighbor mean)
-    for K iterations; distance(u,v) = max_d |x_u − x_v| over existing
-    edges. Seeded-hash init (the reference uses its RNG); one |E| join per
-    iteration carrying all D systems as columns."""
+    """(id, x0..x{D−1}) — the AlgebraicDistance smoothed test vectors
+    (distance/AlgebraicDistance.cpp preprocessing, shared by the edge
+    attributizer below and linkprediction.algebraic_distance_index):
+    seeded [0,1] init, x' = (1−ω)·x + ω·(weighted neighbor mean), one |E|
+    join per iteration carrying all D systems as columns."""
     e = graph.E_sym.select("src", "dst", "weight")
     e = e.repartition("src").sortWithinPartitions("src").persist()
     e.count()
@@ -310,6 +327,17 @@ def algebraic_distance_edges(
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
+    return x
+
+
+def algebraic_distance_edges(
+    graph: GraphDF, systems: int = 4, iterations: int = 10, omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """AlgebraicDistance (distance/AlgebraicDistance.cpp) as an edge
+    attributizer: distance(u,v) = max_d |x_u − x_v| over existing edges."""
+    x = algebraic_loads(graph, systems, iterations, omega, seed)
     xs = x.select(
         F.col("id").alias("src"), *[F.col(f"x{d}").alias(f"a{d}") for d in range(systems)]
     )
@@ -326,7 +354,6 @@ def algebraic_distance_edges(
             *[F.abs(F.col(f"a{d}") - F.col(f"b{d}")) for d in range(systems)]
         ).alias("distance"),
     )
-    e.unpersist()
     return out
 
 
@@ -420,3 +447,103 @@ def path_growing_matching(graph: GraphDF) -> DataFrame:
     return keyed.groupBy("component").applyInPandas(
         run, "src long, dst long, weight double"
     )
+
+
+def random_maximum_spanning_forest(graph: GraphDF, seed: int = 42) -> DataFrame:
+    """RandomMaximumSpanningForest (graph/RandomMaximumSpanningForest.cpp):
+    a maximum-weight spanning forest with RANDOM tie-breaking among equal
+    weights (the reference shuffles edges before its descending Kruskal;
+    here the shuffle is a seeded hash so runs reproduce). Returns
+    (src, dst, weight)."""
+    return minimum_spanning_forest(graph, descending=True, tie_hash_seed=seed)
+
+
+def union_maximum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataFrame:
+    """UnionMaximumSpanningForest (graph/UnionMaximumSpanningForest.cpp):
+    (src, dst, weight, in_umsf) — an edge lies in AT LEAST ONE maximum
+    spanning forest iff its endpoints are NOT connected using strictly
+    heavier edges alone (the reference's descending Kruskal keeps every
+    tie-group edge that crosses the pre-group components).
+
+    Shape: iterate distinct weight levels DESCENDING (the level list is
+    ≤ #distinct weights driver rows — declared; a parallel weight-rank
+    split is the scale path); per level one label join marks crossing
+    edges, then a hash-min closure over the CONTRACTED level edges merges
+    components — fixpoints run on component-count-sized tables, not |V|."""
+    canon = (
+        graph.E.filter("src != dst")
+        .groupBy(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .agg(F.max("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [
+        float(r["weight"])
+        for r in canon.select("weight").distinct().orderBy(F.desc("weight")).collect()
+    ]
+    comp = graph.V.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+    out = None
+    for wl in levels:
+        ec = (
+            canon.filter(F.col("weight") == wl)
+            .join(comp.select(F.col("id").alias("src"), F.col("c").alias("c_src")), "src")
+            .join(comp.select(F.col("id").alias("dst"), F.col("c").alias("c_dst")), "dst")
+        ).localCheckpoint(eager=True)
+        marked = ec.select(
+            "src", "dst", "weight",
+            (F.col("c_src") != F.col("c_dst")).alias("in_umsf"),
+        )
+        out = marked if out is None else out.unionByName(marked)
+        out = out.localCheckpoint(eager=True)
+        # merge this level's edges into the component labels (hash-min on
+        # the contracted pair list)
+        pairs = ec.filter(F.col("c_src") != F.col("c_dst")).select(
+            F.col("c_src").alias("a"), F.col("c_dst").alias("b")
+        )
+        if pairs.limit(1).count() == 0:
+            continue
+        pairs = pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint(eager=True)
+        lbl = comp.select(F.col("c").alias("a")).distinct().withColumn("lab", F.col("a"))
+        for _ in range(64):
+            nxt = (
+                pairs.join(lbl.withColumnRenamed("a", "b2"), pairs.b == F.col("b2"))
+                .groupBy("a")
+                .agg(F.min("lab").alias("nlab"))
+            )
+            upd = (
+                lbl.join(nxt, "a", "left")
+                .select(
+                    F.col("a").alias("a"),
+                    F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # fresh aliases on BOTH sides — upd derives from lbl and a bare
+            # re-join would hit "conflicting references" (CLAUDE.md rule 7)
+            changed = (
+                upd.select(F.col("a").alias("ca"), F.col("lab").alias("nl2"))
+                .join(
+                    lbl.select(F.col("a").alias("ca"), F.col("lab").alias("ol")),
+                    "ca",
+                )
+                .filter(F.col("nl2") != F.col("ol"))
+                .limit(1)
+                .count()
+            )
+            lbl = upd
+            if changed == 0:
+                break
+        comp = (
+            comp.join(lbl, comp.c == lbl.a)
+            .select("id", F.col("lab").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    if out is None:
+        return graph.E.select("src", "dst", "weight").withColumn(
+            "in_umsf", F.lit(False)
+        ).limit(0)
+    return out

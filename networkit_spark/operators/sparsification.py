@@ -488,3 +488,34 @@ def forest_fire_score(
     return canon.join(counts, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("score", F.lit(0.0)).alias("score")
     )
+
+
+def geometric_mean_score(graph: GraphDF, attribute: DataFrame) -> DataFrame:
+    """GeometricMeanScore (edgescores/GeometricMeanScore.cpp:18-41):
+    score(e=(u,v)) = attr(e) / sqrt(nodeSum(u)·nodeSum(v)), where
+    nodeSum(x) = Σ attr over x's incident edges; non-positive attributes
+    score 0 (the reference only writes when attr > 0). `attribute` is
+    (src, dst, score) on canonical edges."""
+    attr = attribute.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.col("score").alias("attr"),
+    )
+    inc = attr.select(F.col("src").alias("id"), "attr").unionByName(
+        attr.select(F.col("dst").alias("id"), "attr")
+    )
+    nsum = inc.groupBy("id").agg(F.sum("attr").alias("nsum"))
+    return (
+        attr.join(nsum.select(F.col("id").alias("src"), F.col("nsum").alias("s_u")), "src")
+        .join(nsum.select(F.col("id").alias("dst"), F.col("nsum").alias("s_v")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.when(
+                F.col("attr") > 0,
+                F.col("attr") / F.sqrt(F.col("s_u") * F.col("s_v")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )

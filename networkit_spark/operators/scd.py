@@ -267,3 +267,101 @@ def gce(
         )
     e.unpersist()
     return members
+
+
+def approximate_pagerank_push(
+    graph: GraphDF,
+    seed: int,
+    alpha: float = 0.15,
+    epsilon: float = 1e-5,
+    max_rounds: int = 1000,
+) -> DataFrame:
+    """ApproximatePageRank (scd/ApproximatePageRank.cpp:17-57, Andersen–
+    Chung–Lang lazy push): returns (id, p, r) for every touched node with
+    the reference's termination guarantee r(u) < ε·vol(u) everywhere.
+
+    The reference pushes one queued node at a time; push operations
+    COMMUTE up to the termination guarantee AND preserve the exact
+    algebraic invariant  π(e_seed) = p + π(r)  (π = lazy-walk PPR) under
+    ANY order — so the distributed shape pushes EVERY active node in the
+    same superstep:
+        p(u)   += α·r(u)                           (active u)
+        r(v)   += Σ_{active u} (1−α)·r(u)·w/(2·vol(u))
+        r(u)    = (1−α)·r(u)/2 + incoming          (active u)
+    One |E|-join per superstep over the active set only; state is the
+    touched ball, never |V| (localCheckpoint per round). The per-node p
+    differs from the reference's by push order within the ε class —
+    the invariant (tested against a numpy solve) and the residual bound
+    are the contract."""
+    spark = graph.V.sparkSession
+    e = graph.E_sym  # undirected push; vol = weighted degree, loops twice
+    wdeg = (
+        graph.weighted_degrees(count_self_loops_twice=True)
+        .select("id", F.col("wdeg").alias("vol"))
+        .persist()
+    )
+    wdeg.count()
+    edges = (
+        e.join(wdeg.select(F.col("id").alias("src"), "vol"), "src")
+        .select(
+            "src", "dst",
+            (F.col("weight") / (2.0 * F.col("vol"))).alias("frac"),
+        )
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    edges.count()
+    state = spark.createDataFrame(
+        [(int(seed), 0.0, 1.0)], "id long, p double, r double"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        st = state.join(wdeg, "id", "left").withColumn(
+            "vol", F.coalesce("vol", F.lit(0.0))
+        )
+        active = st.filter(
+            (F.col("vol") > 0) & (F.col("r") >= F.lit(epsilon) * F.col("vol"))
+        )
+        if active.limit(1).count() == 0:
+            break
+        mass = (
+            edges.join(
+                F.broadcast(
+                    active.select(F.col("id").alias("src"), F.col("r").alias("ra"))
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.lit(1.0 - alpha) * F.col("ra") * F.col("frac")).alias("inc"))
+        )
+        pushed = st.select(
+            "id",
+            "p",
+            "r",
+            (
+                (F.col("vol") > 0)
+                & (F.col("r") >= F.lit(epsilon) * F.col("vol"))
+            ).alias("act"),
+        )
+        merged = (
+            pushed.join(mass, "id", "outer")
+            .select(
+                "id",
+                (
+                    F.coalesce("p", F.lit(0.0))
+                    + F.when(F.coalesce("act", F.lit(False)), F.lit(alpha) * F.col("r"))
+                    .otherwise(0.0)
+                ).alias("p"),
+                (
+                    F.when(
+                        F.coalesce("act", F.lit(False)),
+                        F.lit((1.0 - alpha) / 2.0) * F.col("r"),
+                    ).otherwise(F.coalesce("r", F.lit(0.0)))
+                    + F.coalesce("inc", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        state = merged.localCheckpoint(eager=True)
+    edges.unpersist()
+    wdeg.unpersist()
+    return state

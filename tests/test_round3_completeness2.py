@@ -193,3 +193,36 @@ def test_union_maximum_spanning_forest(spark):
     assert set(got) == set(ew)
     for (u, v), w in ew.items():
         assert got[(u, v)] == (not connected_above(u, v, w)), (u, v, w)
+
+
+def test_approximate_pagerank_push(spark, karate):
+    import numpy as np
+
+    from networkit_spark.operators.scd import approximate_pagerank_push
+
+    alpha, eps, seed = 0.15, 1e-4, 0
+    rows = approximate_pagerank_push(karate, seed, alpha=alpha, epsilon=eps).collect()
+    p = np.zeros(KARATE_N)
+    r = np.zeros(KARATE_N)
+    for row in rows:
+        p[row["id"]] = row["p"]
+        r[row["id"]] = row["r"]
+    adj = _adj(KARATE_EDGES, KARATE_N)
+    vol = np.array([len(adj[u]) for u in range(KARATE_N)], dtype=float)
+    # termination guarantee: r(u) < eps * vol(u) everywhere
+    assert (r < eps * vol + 1e-15).all()
+    # exact push invariant: Pi e_seed = p + Pi r, Pi = alpha (I-(1-a)M)^-1,
+    # M[v,u] = (1/2) 1[v=u] + A[u,v] / (2 vol(u))   (the lazy push kernel)
+    M = np.zeros((KARATE_N, KARATE_N))
+    for u in range(KARATE_N):
+        M[u, u] += 0.5
+        for v in adj[u]:
+            M[v, u] += 1.0 / (2.0 * vol[u])
+    Pi = alpha * np.linalg.inv(np.eye(KARATE_N) - (1 - alpha) * M)
+    e0 = np.zeros(KARATE_N)
+    e0[seed] = 1.0
+    lhs = Pi @ e0
+    rhs = p + Pi @ r
+    assert np.allclose(lhs, rhs, atol=1e-10)
+    # p under-approximates the true lazy PPR by at most the residual mass
+    assert (p <= lhs + 1e-12).all()

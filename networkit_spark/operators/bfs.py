@@ -548,3 +548,14 @@ def neighborhood_function_exact(graph: GraphDF, max_depth: int = 10_000) -> Data
 
     cum = prefix_sums(per_h, "h", "new_pairs")
     return cum.select("h", F.col("hi").alias("count")).orderBy("h")
+
+
+def apsp(graph: GraphDF, max_depth: int = 10_000) -> DataFrame:
+    """APSP (distance/APSP.cpp:18 — one SSSP per node): (source, id, dist)
+    for every reachable ordered pair. The batched multi-source machinery
+    IS the distributed APSP: all n sources expand in the same supersteps
+    (O(diameter) rounds), state O(n²/p) by definition of the output.
+    Weighted graphs route through the Bellman-Ford relax."""
+    if graph.weighted:
+        return sssp_multi_distances(graph, graph.V.select("id"))
+    return bfs_distances(graph, graph.V.select("id"), max_depth=max_depth)

@@ -226,3 +226,32 @@ def test_approximate_pagerank_push(spark, karate):
     assert np.allclose(lhs, rhs, atol=1e-10)
     # p under-approximates the true lazy PPR by at most the residual mass
     assert (p <= lhs + 1e-12).all()
+
+
+def test_apsp_karate(spark, karate):
+    from networkit_spark.operators.bfs import apsp
+
+    adj = _adj(KARATE_EDGES, KARATE_N)
+    got = {
+        (r["source"], r["id"]): r["dist"] for r in apsp(karate).collect()
+    }
+    # spot-check a source's full row + global pair count
+    def bfs(s):
+        dist = {s: 0}
+        fr = [s]
+        d = 0
+        while fr:
+            d += 1
+            nx = []
+            for u in fr:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nx.append(v)
+            fr = nx
+        return dist
+
+    assert len(got) == KARATE_N * KARATE_N  # connected: all ordered pairs
+    for s in (0, 16, 33):
+        for v, d in bfs(s).items():
+            assert got[(s, v)] == d, (s, v)

@@ -1,10 +1,11 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual decoders are STUBBED behind
-deterministic fakes / NotImplementedError because the codec libraries
-(PIL/ffmpeg/etc.) are not in this container. Swapping in a real decoder
-changes ONE function body, not the pipeline.
+Round 3: the decode tier is REAL for every codec the container can
+express without external libraries — BMP and P6-PPM images, PCM16 WAV
+audio (functions/codecs.py, pure numpy + stdlib `wave`). Compressed
+codecs (JPEG/PNG/MP4) still raise a loud, documented error at the decode
+dispatch; swapping in PIL/ffmpeg changes one function (codecs.decode_image),
+not the pipeline.
 
 Pipeline shape for 100 TB: binary payloads stay in parquet binary columns
 (never collected), metadata travels in sibling struct columns, and all
@@ -34,50 +35,65 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+_WAV_RATE = 16_000
+_WAV_SAMPLES = 1_600  # 100 ms
+
 
 def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the id
-    (xxhash-seeded), metadata consistent with `kind`. Real Spark plumbing,
-    fake content."""
-    df = spark.range(n)
-    kind = (
-        F.when(F.pmod("id", F.lit(3)) == 0, "image")
-        .when(F.pmod("id", F.lit(3)) == 1, "audio")
-        .otherwise("video")
-    )
-    payload = F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256).cast(
-        "binary"
-    )
-    return df.select(
-        F.col("id").alias("media_id"),
-        kind.alias("kind"),
-        payload.alias("payload"),
-        F.when(kind == "image", "image/png")
-        .when(kind == "audio", "audio/wav")
-        .otherwise("video/mp4")
-        .alias("mime"),
-        F.struct(
-            F.when(kind != "audio", (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1920)) + 32).cast("int")).alias("width"),
-            F.when(kind != "audio", (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1080)) + 32).cast("int")).alias("height"),
-            F.when(kind != "image", (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(600_000)) + 1000).cast("long")).alias("duration_ms"),
-            F.when(kind == "audio", F.lit(16_000).cast("int")).alias("sample_rate"),
-        ).alias("meta"),
-    )
-
-
-def _decode_image_stub(payload: bytes) -> "object":
-    """REAL IMPLEMENTATION REQUIRES: PIL/turbojpeg. Deterministic fake:
-    a 4x4 uint8 'image' derived from the payload hash bytes."""
+    """Deterministic media table with REAL payloads: images are genuine
+    8×8 24-bit BMPs, audio rows genuine 100 ms PCM16 WAVs (content seeded
+    per id); video payloads remain opaque fakes (mp4 needs ffmpeg —
+    declared). Built via mapInPandas so the synthesis itself exercises the
+    Arrow batch path."""
     import numpy as np
+    import pandas as pd
 
-    arr = np.frombuffer((payload * 3)[:48], dtype=np.uint8).reshape(4, 4, 3)
-    return arr
+    from networkit_spark.functions.codecs import encode_bmp, encode_wav
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(seed * 1_000_003 + mid)
+                k = mid % 3
+                if k == 0:
+                    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                    meta = {"width": 8, "height": 8,
+                            "duration_ms": None, "sample_rate": None}
+                    rows.append(
+                        (mid, "image", encode_bmp(img), "image/bmp", meta)
+                    )
+                elif k == 1:
+                    samples = rng.integers(
+                        -20_000, 20_000, size=_WAV_SAMPLES, dtype=np.int16
+                    )
+                    dur = int(_WAV_SAMPLES * 1000 / _WAV_RATE)
+                    meta = {"width": None, "height": None,
+                            "duration_ms": dur, "sample_rate": _WAV_RATE}
+                    rows.append(
+                        (mid, "audio", encode_wav(samples, _WAV_RATE),
+                         "audio/wav", meta)
+                    )
+                else:
+                    dur = int(rng.integers(1_000, 601_000))
+                    meta = {"width": int(rng.integers(32, 1952)),
+                            "height": int(rng.integers(32, 1112)),
+                            "duration_ms": dur, "sample_rate": None}
+                    rows.append(
+                        (mid, "video", rng.bytes(64), "video/mp4", meta)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "mime", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(build, MEDIA_SCHEMA)
 
 
 def image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
-    """(media_id, feat: array<float>) — decode → feature-extract over
-    mapInPandas Arrow batches. The decode step is the stub; the batch
-    plumbing (schema-in, schema-out, per-batch vectorization) is real."""
+    """(media_id, feat: array<float>) — REAL decode (BMP/PPM) →
+    feature-extract (per-channel means + stds, a model stand-in) over
+    mapInPandas Arrow batches."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -90,11 +106,12 @@ def image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     def extract(batches):
         import numpy as np
 
+        from networkit_spark.functions.codecs import decode_image
+
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                img = _decode_image_stub(bytes(payload))
-                # channel means + stds: a real extractor would run a model
+                img = decode_image(bytes(payload))
                 f = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
                 feats.append((f / 255.0).astype("float32").tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feat": feats})
@@ -107,9 +124,9 @@ def image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """(media_id, payload) resized — decode/re-encode is NOT available in
-    this container; the operator raises on execution but carries the full
-    Spark plan/schema so the pipeline type-checks end-to-end."""
+    """(media_id, payload) — REAL decode → nearest-neighbor resize →
+    BMP re-encode for the container-native codecs; compressed inputs raise
+    the documented swap-in error from the decode dispatch."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -120,21 +137,69 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
     def do_resize(batches):
-        raise NotImplementedError(
-            "image re-encode requires PIL/libjpeg — not in this container; "
-            "swap this function body for the real codec"
+        from networkit_spark.functions.codecs import (
+            decode_image,
+            encode_bmp,
+            resize_nearest,
         )
-        yield  # pragma: no cover
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload))
+                out.append(encode_bmp(resize_nearest(img, width, height)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(do_resize, out_schema)
 
 
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, feat: array<float>) — REAL WAV decode → [rms, zero-
+    crossing rate, duration_s] (an ASR-frontend stand-in), Arrow-batched."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("feat", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def extract(batches):
+        import numpy as np
+
+        from networkit_spark.functions.codecs import decode_wav
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                samples, rate = decode_wav(bytes(payload))
+                x = samples.astype(np.float64) / 32768.0
+                rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+                    if x.size > 1
+                    else 0.0
+                )
+                feats.append(
+                    np.array([rms, zcr, x.size / rate], dtype="float32").tolist()
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feat": feats})
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(extract, out_schema)
+    )
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """(media_id, frame_idx, ts_ms) — frame-sampling plan: the timestamps
     come from metadata (real); frame payload extraction is stubbed to a
-    deterministic hash of (media_id, frame_idx)."""
+    deterministic hash of (media_id, frame_idx) — mp4 demux needs ffmpeg
+    (declared container limitation)."""
     frames = media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(

@@ -212,16 +212,62 @@ def test_minhash_bucket_cap_keeps_duplicate_clusters_linked(spark):
     assert ids == {0, 1, 2, 3, 4}
 
 
-def test_resize_images_stub_fails_loudly(spark):
-    """VERDICT r2 #10 contract: the codec stub must carry a REAL Spark plan
-    (schema, filter, mapInPandas signature) but fail loudly with the
-    documented container-limitation message on execution — never silently
-    pass."""
+def test_resize_images_real_roundtrip(spark):
+    """Round 3: decode→resize→re-encode is REAL for BMP (pure-numpy codec).
+    4×4 output decodes back to the nearest-neighbor subsample of the 8×8
+    source."""
+    import numpy as np
+
+    from networkit_spark.functions.codecs import decode_bmp, resize_nearest
     from networkit_spark.functions.multimodal import resize_images
 
     media = synthesize_media(spark, 6, seed=3)
-    plan = resize_images(media, 64, 64)
-    assert [f.name for f in plan.schema.fields] == ["media_id", "payload"]
+    src = {
+        r["media_id"]: decode_bmp(bytes(r["payload"]))
+        for r in media.filter("kind = 'image'").collect()
+    }
+    out = resize_images(media, 4, 4).collect()
+    assert {r["media_id"] for r in out} == set(src)
+    for r in out:
+        got = decode_bmp(bytes(r["payload"]))
+        want = resize_nearest(src[r["media_id"]], 4, 4)
+        assert np.array_equal(got, want)
+
+
+def test_compressed_codec_fails_loudly(spark):
+    """Compressed codecs stay gated: a non-BMP/PPM payload must raise the
+    documented swap-in error, never silently pass."""
+    from networkit_spark.functions.multimodal import resize_images
+
+    fake_png = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG fake"), "image/png", None)],
+        "media_id long, kind string, payload binary, mime string, meta string",
+    )
     with pytest.raises(Exception) as ei:
-        plan.collect()
+        resize_images(fake_png, 4, 4).collect()
     assert "PIL" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_audio_features_real_wav(spark):
+    """WAV decode + features match a local numpy recomputation exactly."""
+    import numpy as np
+
+    from networkit_spark.functions.codecs import decode_wav
+    from networkit_spark.functions.multimodal import audio_features
+
+    media = synthesize_media(spark, 12, seed=5)
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'audio'").collect()
+    }
+    got = {
+        r["media_id"]: r["feat"] for r in audio_features(media).collect()
+    }
+    assert set(got) == set(payloads)
+    for mid, payload in payloads.items():
+        samples, rate = decode_wav(payload)
+        x = samples.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        want = np.array([rms, zcr, x.size / rate], dtype="float32")
+        assert np.allclose(got[mid], want, atol=1e-7), mid

@@ -508,3 +508,83 @@ def approx_group_betweenness(
         ).localCheckpoint(eager=True)
     inc.unpersist()
     return group
+
+
+def kadabra_betweenness(
+    graph: GraphDF,
+    err: float = 0.05,
+    delta: float = 0.1,
+    seed: int = 42,
+    batch_size: int | None = None,
+    max_batches: int = 64,
+) -> DataFrame:
+    """KadabraBetweenness (centrality/KadabraBetweenness.cpp, Borassi–
+    Natale ADaptive sampling): draw shortest-path samples in batches and
+    STOP when the empirical Bernstein confidence radius of every node's
+    betweenness estimate drops below `err` (w.p. ≥ 1−delta) — adaptive,
+    where ApproxBetweenness fixes the sample count a priori from the
+    worst-case VD bound.
+
+    Spark shape: each batch reuses approx_betweenness's batched sampler
+    (all paths of a batch BFS + walk back in shared supersteps, fresh seed
+    per batch, with-replacement pair draws like the reference); per-node
+    appearance counts accumulate in a running (id, c) table (checkpointed
+    per batch), and the stopping rule is ONE aggregate over it:
+
+        rad(v) = sqrt(2·b̃(1−b̃)·L/r) + 7·L/(3·(r−1)),  L = ln(4n/(delta))
+
+    (the two-sided empirical-Bernstein radius the reference's computeF/G
+    bounds specialize, KadabraBetweenness.cpp:96-116 — each sample touches
+    a node at most once since sampled paths are simple, so per-sample
+    scores are Bernoulli). Returns (id, score) with score = b̃(v), the
+    fraction of node pairs whose shortest path crosses v."""
+    import math as _math
+
+    spark = graph.V.sparkSession
+    n = graph.number_of_nodes()
+    if n < 3:
+        return graph.V.select("id", F.lit(0.0).alias("score"))
+    if batch_size is None:
+        batch_size = max(64, int(_math.log(max(n, 2)) / (err * err) / 8))
+    big_l = _math.log(4.0 * n / delta)
+    counts = spark.createDataFrame([], "node long, c long")
+    r = 0
+    for b in range(max_batches):
+        inc = approx_betweenness(
+            graph,
+            seed=seed + 7919 * b,
+            n_samples=batch_size,
+            return_internals=True,
+        )
+        binc = inc.groupBy("node").agg(F.count("*").alias("c"))
+        counts = (
+            counts.unionByName(binc)
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        r += batch_size
+        if r < 2:
+            continue
+        # stopping rule: ONE aggregate — max radius over nodes with c>0;
+        # zero-count nodes have b̃=0, their radius is the additive term only
+        tail = 7.0 * big_l / (3.0 * (r - 1))
+        row = counts.select(
+            (
+                F.sqrt(
+                    F.lit(2.0 * big_l / r)
+                    * (F.col("c") / r)
+                    * (1.0 - F.col("c") / r)
+                )
+                + F.lit(tail)
+            ).alias("rad")
+        ).agg(F.max("rad")).collect()[0]
+        max_rad = max(float(row[0] or 0.0), tail)
+        if max_rad <= err:
+            break
+    return graph.V.join(
+        counts.select(F.col("node").alias("id"), "c"), "id", "left"
+    ).select(
+        "id",
+        (F.coalesce("c", F.lit(0)) / F.lit(float(r))).alias("score"),
+    )

@@ -291,3 +291,35 @@ def test_approx_group_betweenness_validates(spark, karate):
         approx_group_betweenness(karate, group_size=0)
     with pytest.raises(ValueError):
         approx_group_betweenness(karate, group_size=2, epsilon=-1.0)
+
+
+# ------------------------------------------------------------------ kadabra
+def test_kadabra_betweenness_karate(spark, karate):
+    from networkit_spark.operators.betweenness import (
+        betweenness,
+        kadabra_betweenness,
+    )
+
+    err = 0.08
+    got = {
+        r["id"]: r["score"]
+        for r in kadabra_betweenness(
+            karate, err=err, delta=0.1, seed=4, batch_size=256, max_batches=8
+        ).collect()
+    }
+    # exact fraction of ordered pairs whose shortest path crosses v
+    exact = {
+        r["id"]: r["score"] / (KARATE_N * (KARATE_N - 1))
+        for r in betweenness(karate).collect()
+    }
+    assert set(got) == set(exact)
+    for v in exact:
+        assert abs(got[v] - exact[v]) <= err + 0.02, (v, got[v], exact[v])
+    # the estimator is deterministic under a fixed seed
+    again = {
+        r["id"]: r["score"]
+        for r in kadabra_betweenness(
+            karate, err=err, delta=0.1, seed=4, batch_size=256, max_batches=8
+        ).collect()
+    }
+    assert got == again

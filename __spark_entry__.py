@@ -65,6 +65,10 @@ SP_CUTOFF = 5
 VOL_R = 2                # volume ball radius (hops)
 VOL_SAMPLES = 25
 VOL_SEED = 5
+GEDW_GROUP = [0, 1]      # gedwalk scored group
+GEDW_ALPHA = 0.25
+GEDW_L = 4               # gedwalk truncation depth
+GC_K = 2                 # group-closeness greedy picks
 
 
 # ===================================================================== Spark
@@ -857,6 +861,37 @@ def q_group_degree_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ord")
 
 
+def q_gedwalk_score_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact truncated GED-walk score of the fixed group GEDW_GROUP
+    (GedWalk.cpp Eq. 1 — walk-count DPs on the full and group-avoiding
+    graphs)."""
+    from networkit_spark.operators.group import gedwalk_score
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    val = gedwalk_score(g, GEDW_GROUP, alpha=GEDW_ALPHA, levels=GEDW_L)
+    # F.round (HALF_UP, like DuckDB) — python round() is banker's and
+    # flips exact .5×10⁻⁶ boundaries the big walk totals can land on
+    return spark.createDataFrame([(val,)], "ged double").select(
+        F.round("ged", 6).alias("ged")
+    )
+
+
+def q_group_closeness_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy GroupCloseness group of size GC_K (GroupCloseness.cpp farness
+    minimization; unreached charged n) — one row per pick + the final
+    group closeness."""
+    from networkit_spark.operators.group import group_closeness
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    group, score = group_closeness(g, k=GC_K)
+    rows = [(i + 1, int(u), round(score, 6)) for i, u in enumerate(group)]
+    return spark.createDataFrame(rows, "ord long, id long, score double").orderBy(
+        "ord"
+    )
+
+
 def q_simple_paths_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All simple paths SP_SOURCE→SP_TARGET (≤ SP_CUTOFF edges) on the
     directed conv-adjacency graph — paths rendered as '-'-joined strings
@@ -935,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_degree_supplier": q_group_degree_supplier,
         "simple_paths_conv": q_simple_paths_conv,
         "volume_conv": q_volume_conv,
+        "gedwalk_score_supplier": q_gedwalk_score_supplier,
+        "group_closeness_supplier": q_group_closeness_supplier,
         "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
         "luby_mis_supplier": q_luby_mis_supplier,
@@ -2025,6 +2062,108 @@ def _group_degree_sql(edges_cte: str, k: int) -> str:
     return "\n".join(parts)
 
 
+def _gedwalk_score_sql(
+    edges_cte: str, group: list[int], alpha: float, levels: int
+) -> str:
+    """Truncated GED(S) = Σ α^ℓ·(#ℓ-walks − #ℓ-walks avoiding S): two
+    unrolled walk-count DPs, matching operators/group.py gedwalk_score
+    (walk totals are exact integers-in-doubles, so FP parity is exact)."""
+    gset = ", ".join(str(int(g)) for g in group)
+    parts = [
+        f"WITH {edges_cte},",
+        "esym AS (SELECT src, dst FROM edges WHERE src != dst"
+        " UNION ALL SELECT dst, src FROM edges WHERE src != dst),",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),",
+        "x0 AS (SELECT id, 1.0 AS c FROM v),",
+        f"ea AS (SELECT src, dst FROM esym"
+        f" WHERE src NOT IN ({gset}) AND dst NOT IN ({gset})),",
+        f"y0 AS (SELECT id, 1.0 AS c FROM v WHERE id NOT IN ({gset})),",
+    ]
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f"x{lvl} AS (SELECT e.src AS id, SUM(x.c) AS c FROM esym e"
+            f" JOIN x{lvl-1} x ON e.dst = x.id GROUP BY e.src),"
+        )
+        parts.append(
+            f"y{lvl} AS (SELECT e.src AS id, SUM(y.c) AS c FROM ea e"
+            f" JOIN y{lvl-1} y ON e.dst = y.id GROUP BY e.src),"
+        )
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f"t{lvl} AS (SELECT COALESCE(SUM(c), 0.0) AS t FROM x{lvl}),"
+        )
+        comma = "," if lvl < levels else ""
+        parts.append(
+            f"a{lvl} AS (SELECT COALESCE(SUM(c), 0.0) AS a FROM y{lvl})"
+            f"{comma}"
+        )
+    terms = " + ".join(
+        f"{alpha**lvl!r} * ((SELECT t FROM t{lvl}) - (SELECT a FROM a{lvl}))"
+        for lvl in range(1, levels + 1)
+    )
+    parts.append(f"SELECT CAST(ROUND({terms}, 6) AS DOUBLE) AS ged")
+    return "\n".join(parts)
+
+
+def _group_closeness_sql(edges_cte: str, max_d: int, k: int) -> str:
+    """Greedy farness minimization unrolled k picks deep over the same
+    recursive-BFS distance table the closeness oracle uses (unreached
+    charged n; integer farness ⇒ no FP tie risk) — matches
+    operators/group.py group_closeness."""
+    parts = [
+        f"WITH RECURSIVE {edges_cte},",
+        "esym AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges"
+        " WHERE src != dst UNION ALL SELECT dst, src FROM edges"
+        " WHERE src != dst)),",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst FROM edges)),",
+        f"walk(source, id, d) AS ("
+        f" SELECT id, id, 0 FROM v"
+        f" UNION"
+        f" SELECT walk.source, u.dst, walk.d + 1"
+        f" FROM walk JOIN esym u ON u.src = walk.id WHERE walk.d < {max_d}),",
+        "md AS (SELECT source, id, MIN(d) AS dist FROM walk"
+        " GROUP BY source, id),",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),",
+        "dd AS (SELECT a.id AS u, b.id AS v2,"
+        " COALESCE(m.dist, (SELECT n FROM nn)) AS d"
+        " FROM v a CROSS JOIN v b"
+        " LEFT JOIN md m ON m.source = a.id AND m.id = b.id),",
+        "grp0 AS (SELECT CAST(NULL AS BIGINT) AS id,"
+        " CAST(NULL AS BIGINT) AS ord WHERE 1 = 0),",
+        "cur0 AS (SELECT id AS v2, (SELECT n FROM nn) AS dcur FROM v),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"far{i} AS (SELECT dd.u, SUM(LEAST(dd.d, c.dcur)) AS f"
+            f" FROM dd JOIN cur{i-1} c ON dd.v2 = c.v2"
+            f" WHERE dd.u NOT IN (SELECT id FROM grp{i-1})"
+            f" GROUP BY dd.u),"
+        )
+        parts.append(
+            f"b{i} AS (SELECT u FROM far{i} ORDER BY f ASC, u ASC LIMIT 1),"
+        )
+        parts.append(
+            f"grp{i} AS (SELECT id, ord FROM grp{i-1}"
+            f" UNION ALL SELECT u, CAST({i} AS BIGINT) FROM b{i}),"
+        )
+        parts.append(
+            f"cur{i} AS (SELECT c.v2, LEAST(c.dcur, dd.d) AS dcur"
+            f" FROM cur{i-1} c JOIN dd ON dd.v2 = c.v2"
+            f" AND dd.u = (SELECT u FROM b{i})),"
+        )
+    parts.append(
+        f"farf AS (SELECT SUM(dcur) AS f FROM cur{k}"
+        f" WHERE v2 NOT IN (SELECT id FROM grp{k}))"
+    )
+    parts.append(
+        f"SELECT g.ord, g.id,"
+        f" ROUND(((SELECT n FROM nn) - {k}) * 1.0 / (SELECT f FROM farf), 6)"
+        f" AS score FROM grp{k} g ORDER BY g.ord"
+    )
+    return "\n".join(parts)
+
+
 def _oracle_sql_raw() -> dict[str, str]:
     stop5 = ["the", "a", "of", "and", "to"]
     stop_terms = " + ".join(
@@ -2040,6 +2179,12 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "kpath_supplier": _kpath_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), KPATH_K, KPATH_T, KPATH_SEED
+        ),
+        "gedwalk_score_supplier": _gedwalk_score_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), GEDW_GROUP, GEDW_ALPHA, GEDW_L
+        ),
+        "group_closeness_supplier": _group_closeness_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), CLOSE_DEPTH, GC_K
         ),
         "group_degree_supplier": _group_degree_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), GROUPDEG_K

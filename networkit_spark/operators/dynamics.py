@@ -1,13 +1,33 @@
-"""Dynamic-algorithm wrappers — recompute-on-micro-batch (SURVEY §2.4/§2.5).
+"""Dynamic algorithms — true incremental maintenance under event batches
+(SURVEY §2.4/§2.5).
 
-The reference's Dyn* algorithms (DynBetweenness, DynKatzCentrality,
-DynConnectedComponents, ... networkit/cpp/centrality/Dyn*.cpp,
-components/Dyn*.cpp) maintain results under GraphEvent updates. In the
-Spark model, updates arrive as event micro-batches (streaming/events.py);
-the v1 semantics here is recompute-on-batch with warm-start: the previous
-result seeds the next solve, so convergence after a small delta takes few
-supersteps — the distributed analog of incremental maintenance, with
-checkpointed state either way.
+The reference's Dyn* algorithms (DynBFS/DynDijkstra/DynSSSP
+distance/Dyn*.cpp, DynConnectedComponents components/Dyn*.cpp,
+DynKatzCentrality centrality/DynKatzCentrality.cpp) maintain results under
+GraphEvent updates with work proportional to the AFFECTED set, not the
+graph. The Spark mapping, per kernel:
+
+  * distances (DynBFS.cpp:47-60 / DynDijkstra): edge additions only
+    shrink distances, so the update seeds a frontier from the inserted
+    edges' improved endpoints and relaxes supersteps until no row
+    improves — state is the affected ball, never |V|
+    (incremental_sssp_additions).
+  * connected components (DynConnectedComponents.cpp addEdge): merge on
+    the CONTRACTED component graph (incremental_wcc_additions).
+  * triangle counts: batch delta-counting — each new edge's wedges are
+    counted in the updated graph with inclusion–exclusion weights 1/k
+    (k = new edges in the triangle), the Makkar–Bader–Green batch rule,
+    so concurrent insertions are never double-counted
+    (incremental_triangle_additions / _removals).
+  * fixpoint centralities (PageRank / Katz): the previous score vector
+    warm-starts the next solve — after a small delta the iteration
+    starts next to the new fixpoint and converges in O(1) supersteps,
+    the distributed analog of the reference's bound-refresh loop.
+
+The Dyn* classes route each event micro-batch to the incremental path
+when the batch shape allows it (pure edge additions / removals) and fall
+back to the warm-started full solve otherwise — same contract as the
+reference, which also rebuilds on unsupported event types.
 """
 
 from __future__ import annotations
@@ -19,9 +39,35 @@ from networkit_spark.graph import GraphDF
 from networkit_spark.streaming.events import apply_events
 
 
+def _batch_edge_types(events: DataFrame) -> set[str]:
+    """Distinct non-TIME_STEP event types in the batch — ≤7 metadata rows."""
+    return {
+        r["type"]
+        for r in events.select("type").distinct().collect()
+        if r["type"] != "TIME_STEP"
+    }
+
+
+def _canonical_batch_edges(
+    events: DataFrame, etype: str, directed: bool
+) -> DataFrame:
+    """(src, dst[, weight]) rows of one edge-event class, canonicalized."""
+    ev = events.filter(F.col("type") == etype)
+    src = F.col("u") if directed else F.least("u", "v")
+    dst = F.col("v") if directed else F.greatest("u", "v")
+    return ev.select(
+        src.alias("src"), dst.alias("dst"),
+        F.coalesce("w", F.lit(1.0)).alias("weight"),
+    ).distinct()
+
+
 class DynAlgorithm:
-    """Base: holds the current graph + result; update(events) folds the
-    batch and recomputes (warm-started where the kernel supports it)."""
+    """Base: holds the current graph + result. update(events) folds the
+    batch, then routes to the kernel's incremental path when the batch
+    shape supports it (_update_incremental returns True) and otherwise
+    re-solves — warm-started where the kernel supports it (the same
+    fallback contract as the reference's Dyn* updateBatch, which throws
+    or rebuilds on unsupported event types)."""
 
     def __init__(self, graph: GraphDF):
         self.graph = graph
@@ -31,7 +77,15 @@ class DynAlgorithm:
     def _solve(self) -> None:
         raise NotImplementedError
 
+    def _update_incremental(
+        self, old_graph: GraphDF, events: DataFrame, types: set[str]
+    ) -> bool:
+        """Attempt an O(affected) update; return False to fall back to
+        _solve(). Called AFTER the fold (self.graph is the new state)."""
+        return False
+
     def update(self, events: DataFrame) -> DataFrame:
+        old_graph = self.graph
         self.graph = apply_events(self.graph, events)
         # pin the folded state: event-fold lineage must not accumulate
         self.graph = GraphDF(
@@ -40,25 +94,40 @@ class DynAlgorithm:
             directed=self.graph.directed,
             weighted=self.graph.weighted,
         )
-        self._solve()
+        types = _batch_edge_types(events)
+        if not self._update_incremental(old_graph, events, types):
+            self._solve()
         return self.result
 
 
 class DynPageRank(DynAlgorithm):
+    """Every update is warm-started from the previous score vector
+    (pagerank(init_scores=...)) — the fixpoint is init-invariant, so a
+    small delta converges in O(1) supersteps instead of the cold-start
+    O(log(1/tol)/log(1/damping))."""
+
     def __init__(self, graph: GraphDF, damping: float = 0.85, tol: float = 1e-8):
         self.damping = damping
         self.tol = tol
         super().__init__(graph)
 
-    def _solve(self) -> None:
+    def _solve(self, init: DataFrame | None = None) -> None:
         from networkit_spark.operators.pagerank import pagerank
 
         self.result = pagerank(
-            self.graph, damping=self.damping, tol=self.tol
+            self.graph, damping=self.damping, tol=self.tol, init_scores=init
         ).localCheckpoint(eager=True)
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        self._solve(init=self.result)
+        return True
 
 
 class DynConnectedComponents(DynAlgorithm):
+    """Addition-only batches merge on the CONTRACTED component graph
+    (incremental_wcc_additions — O(#touched components) state, the
+    DynConnectedComponents.cpp addEdge path); anything else recomputes."""
+
     def _solve(self) -> None:
         from networkit_spark.operators.components import (
             connected_components,
@@ -72,12 +141,55 @@ class DynConnectedComponents(DynAlgorithm):
         )
         self.result = fn(self.graph).localCheckpoint(eager=True)
 
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        if not types <= {"EDGE_ADDITION", "EDGE_WEIGHT_UPDATE",
+                         "EDGE_WEIGHT_INCREMENT"}:
+            return False
+        if "EDGE_ADDITION" not in types:
+            return True  # weight-only batch: components unchanged
+        new_edges = _canonical_batch_edges(
+            events, "EDGE_ADDITION", self.graph.directed
+        )
+        self.result = incremental_wcc_additions(
+            self.result, new_edges
+        ).localCheckpoint(eager=True)
+        return True
+
 
 class DynTriangleCount(DynAlgorithm):
+    """Pure-insert batches delta-count through the new adjacency, pure
+    -delete batches through the old (1/k inclusion–exclusion, see
+    _triangle_batch_delta); mixed/node batches recompute."""
+
     def _solve(self) -> None:
         from networkit_spark.operators.triangles import triangle_counts
 
         self.result = triangle_counts(self.graph).localCheckpoint(eager=True)
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        weight_only = {"EDGE_WEIGHT_UPDATE", "EDGE_WEIGHT_INCREMENT"}
+        if types <= weight_only:
+            return True  # weights don't change the triangle structure
+        old_e = old_graph.E.select("src", "dst")
+        if types <= ({"EDGE_ADDITION", "NODE_ADDITION"} | weight_only):
+            # only edges that did NOT already exist create triangles
+            batch = _canonical_batch_edges(
+                events, "EDGE_ADDITION", self.graph.directed
+            ).join(old_e, ["src", "dst"], "left_anti")
+            self.result = incremental_triangle_additions(
+                self.result, self.graph, batch
+            ).localCheckpoint(eager=True)
+            return True
+        if types <= ({"EDGE_REMOVAL"} | weight_only):
+            # only edges that DID exist destroy triangles
+            batch = _canonical_batch_edges(
+                events, "EDGE_REMOVAL", self.graph.directed
+            ).join(old_e, ["src", "dst"], "left_semi")
+            self.result = incremental_triangle_removals(
+                self.result, old_graph, batch
+            ).localCheckpoint(eager=True)
+            return True
+        return False
 
 
 class DynKatzCentrality(DynAlgorithm):
@@ -94,6 +206,53 @@ class DynKatzCentrality(DynAlgorithm):
         self.result = katz_centrality(
             self.graph, alpha=self.alpha, beta=self.beta, tol=self.tol
         ).localCheckpoint(eager=True)
+
+
+class DynBFS(DynAlgorithm):
+    """DynBFS (distance/DynBFS.cpp): single- or multi-source hop distances
+    maintained under edge additions via affected-frontier relaxation
+    (incremental_sssp_additions); other event types re-run the batched
+    BFS. result: (source, id, dist), unreached omitted."""
+
+    _weighted = False
+
+    def __init__(self, graph: GraphDF, sources: list[int]):
+        self.sources = list(sources)
+        super().__init__(graph)
+
+    def _solve(self) -> None:
+        from networkit_spark.operators.bfs import (
+            bfs_distances,
+            sssp_multi_distances,
+        )
+
+        if self._weighted:
+            self.result = sssp_multi_distances(
+                self.graph, self.sources
+            ).localCheckpoint(eager=True)
+        else:
+            self.result = bfs_distances(
+                self.graph, self.sources
+            ).localCheckpoint(eager=True)
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        allowed = {"EDGE_ADDITION"} if self._weighted else {"EDGE_ADDITION"}
+        if not types <= allowed:
+            return False
+        new_edges = _canonical_batch_edges(
+            events, "EDGE_ADDITION", self.graph.directed
+        )
+        self.result = incremental_sssp_additions(
+            self.result, self.graph, new_edges, weighted=self._weighted
+        ).localCheckpoint(eager=True)
+        return True
+
+
+class DynDijkstra(DynBFS):
+    """DynDijkstra (distance/DynDijkstra.cpp): weighted distances, same
+    affected-set addition updates (weights must be positive)."""
+
+    _weighted = True
 
 
 def incremental_wcc_additions(
@@ -146,3 +305,192 @@ def incremental_wcc_additions(
         F.coalesce("new_c", "component").alias("label"),
     )
     return renumber_dense_by_min_id(updated)
+
+
+def incremental_sssp_additions(
+    dist: DataFrame,
+    graph_new: GraphDF,
+    new_edges: DataFrame,
+    weighted: bool = False,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """DynBFS / DynDijkstra incremental ADDITION update
+    (distance/DynBFS.cpp:47-96, DynDijkstra.cpp — edge insertions only
+    DECREASE distances, so the affected set is seeded from the inserted
+    edges and grown by relaxation; untouched nodes never enter a
+    superstep).
+
+    dist: (source, id, dist) — the multi-source distance table BEFORE the
+    batch (unreached pairs omitted, as bfs_distances emits). graph_new:
+    the graph AFTER applying the batch. new_edges: (src, dst[, weight])
+    rows of the inserted edges. Returns the updated (source, id, dist).
+
+    State per superstep = the improved frontier only — the O(affected)
+    contract of the reference, which is the only viable shape under
+    streaming updates at 10^12 edges."""
+    b = new_edges
+    if "weight" not in b.columns:
+        b = b.withColumn("weight", F.lit(1.0))
+    b = b.select("src", "dst", "weight")
+    if not graph_new.directed:
+        b = b.unionByName(
+            b.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+
+    adj = graph_new.E if graph_new.directed else graph_new.E_sym
+    adj = adj.select("src", "dst", "weight")
+    if not weighted:
+        adj = adj.withColumn("weight", F.lit(1.0))
+    adj = adj.repartition("src").sortWithinPartitions("src").persist()
+    adj.count()
+
+    total = dist.select("source", "id", "dist").localCheckpoint(eager=True)
+
+    def _improvements(cand: DataFrame) -> DataFrame:
+        """strictly-better-or-new (source, id, dist) rows vs `total`."""
+        best = cand.groupBy("source", "id").agg(F.min("nd").alias("dist"))
+        cur = total.select(
+            "source", "id", F.col("dist").alias("cur")
+        )
+        return (
+            best.join(cur, ["source", "id"], "left")
+            .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
+            .select("source", "id", "dist")
+        )
+
+    # seed: sources that reach a new edge's tail improve its head
+    seed_cand = (
+        total.alias("d")
+        .join(b.alias("b"), F.col("d.id") == F.col("b.src"))
+        .select(
+            "source",
+            F.col("b.dst").alias("id"),
+            (F.col("d.dist") + (F.col("b.weight").cast("double") if weighted
+                                else F.lit(1))).alias("nd"),
+        )
+    )
+    frontier = _improvements(seed_cand).localCheckpoint(eager=True)
+
+    it = 0
+    while frontier.limit(1).count() > 0 and it < max_iterations:
+        it += 1
+        total = (
+            total.join(frontier.select("source", "id"), ["source", "id"],
+                       "left_anti")
+            .unionByName(frontier)
+            .localCheckpoint(eager=True)
+        )
+        cand = (
+            frontier.alias("f")
+            .join(adj.alias("e"), F.col("f.id") == F.col("e.src"))
+            .select(
+                "source",
+                F.col("e.dst").alias("id"),
+                (F.col("f.dist") + (F.col("e.weight").cast("double")
+                                    if weighted else F.lit(1))).alias("nd"),
+            )
+        )
+        frontier = _improvements(cand).localCheckpoint(eager=True)
+    adj.unpersist()
+    return total
+
+
+def _triangle_batch_delta(adj_edges: DataFrame, batch: DataFrame) -> DataFrame:
+    """(id, delta) — per-node triangle-count delta for an edge batch, by
+    the Makkar–Bader–Green inclusion–exclusion rule: each batch edge
+    (u, v) is closed through the full adjacency; a triangle whose k edges
+    are all in the batch is generated k times, so every generated row
+    contributes 1/k (k = 1 + new(u,w) + new(v,w)) to each corner — exact
+    integer totals, no double counting inside the batch.
+
+    adj_edges: symmetrized simple adjacency (src, dst) of the graph that
+    CONTAINS the batch edges (the post-insert graph for additions, the
+    pre-delete graph for removals). batch: canonical (src, dst)."""
+    b = batch.select("src", "dst").filter("src != dst").distinct()
+    b_sym = (
+        b.unionByName(b.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .withColumn("is_new", F.lit(1))
+    )
+    wedges = (
+        b.alias("b")
+        .join(adj_edges.alias("e1"), F.col("b.src") == F.col("e1.src"))
+        .filter(F.col("e1.dst") != F.col("b.dst"))
+        .select(
+            F.col("b.src").alias("u"),
+            F.col("b.dst").alias("v"),
+            F.col("e1.dst").alias("w"),
+        )
+    )
+    closed = wedges.join(
+        adj_edges.alias("e2"),
+        (F.col("v") == F.col("e2.src")) & (F.col("w") == F.col("e2.dst")),
+        "left_semi",
+    )
+    flagged = (
+        closed.join(
+            b_sym.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                         F.col("is_new").alias("new_uw")),
+            ["u", "w"], "left")
+        .join(
+            b_sym.select(F.col("src").alias("v"), F.col("dst").alias("w"),
+                         F.col("is_new").alias("new_vw")),
+            ["v", "w"], "left")
+        .withColumn(
+            "k",
+            F.lit(1) + F.coalesce("new_uw", F.lit(0))
+            + F.coalesce("new_vw", F.lit(0)),
+        )
+        .withColumn("c", F.lit(1.0) / F.col("k"))
+    )
+    corners = (
+        flagged.select(F.col("u").alias("id"), "c")
+        .unionAll(flagged.select(F.col("v").alias("id"), "c"))
+        .unionAll(flagged.select(F.col("w").alias("id"), "c"))
+    )
+    return corners.groupBy("id").agg(F.sum("c").alias("delta"))
+
+
+def _apply_triangle_delta(counts: DataFrame, delta: DataFrame,
+                          sign: int) -> DataFrame:
+    return (
+        counts.join(delta, "id", "left")
+        .select(
+            "id",
+            (F.col("triangles")
+             + F.lit(sign) * F.round(F.coalesce("delta", F.lit(0.0)))
+             ).cast("long").alias("triangles"),
+        )
+    )
+
+
+def incremental_triangle_additions(
+    counts: DataFrame, graph_new: GraphDF, new_edges: DataFrame
+) -> DataFrame:
+    """Per-node triangle counts updated under edge INSERTIONS: counts is
+    (id, triangles) BEFORE the batch (nodes only — new nodes appear with
+    their delta), graph_new is the graph AFTER. Work is O(|batch|·deg),
+    never the full wedge set."""
+    adj = (
+        graph_new.E_sym.select("src", "dst").filter("src != dst").distinct()
+    )
+    delta = _triangle_batch_delta(adj, new_edges)
+    base = graph_new.V.join(counts, "id", "left").select(
+        "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+    return _apply_triangle_delta(base, delta, +1)
+
+
+def incremental_triangle_removals(
+    counts: DataFrame, graph_old: GraphDF, removed_edges: DataFrame
+) -> DataFrame:
+    """Per-node triangle counts updated under edge DELETIONS: graph_old is
+    the graph BEFORE the batch (it still contains the removed edges —
+    destroyed triangles are counted there with the same 1/k rule)."""
+    adj = (
+        graph_old.E_sym.select("src", "dst").filter("src != dst").distinct()
+    )
+    delta = _triangle_batch_delta(adj, removed_edges)
+    return _apply_triangle_delta(counts, delta, -1)

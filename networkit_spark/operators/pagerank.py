@@ -63,6 +63,7 @@ def pagerank(
     salt_buckets: int = 0,
     broadcast_rank: bool | None = None,
     stats: dict | None = None,
+    init_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id: long, score: double), scores summing to 1.
 
@@ -77,6 +78,8 @@ def pagerank(
     |V| rows move per superstep against pre-partitioned edges.
     `stats`: optional dict, filled with {'iter_secs': [...], 'edges': m} —
     per-superstep wall times for throughput benches.
+    `init_scores`: optional (id, score) start vector (DynPageRank warm
+    start) — projected onto V and renormalized; the fixpoint is unchanged.
     """
     spark = graph.V.sparkSession
     # pin the vertex set: V's lineage may be an arbitrarily deep derivation
@@ -111,6 +114,19 @@ def pagerank(
         resumed = checkpointer.latest_state()
         if resumed is not None:
             start_iter, rank = resumed["superstep"] + 1, resumed["dfs"]["rank"]
+    if rank is None and init_scores is not None:
+        # warm start (DynPageRank): the previous score vector, projected
+        # onto the current vertex set (new nodes enter at the uniform
+        # mass) and renormalized to sum 1 — the fixpoint is init-invariant,
+        # so after a small graph delta the iteration starts next to the
+        # new fixpoint and converges in O(1) supersteps
+        ini = v.join(
+            init_scores.select("id", F.col("score").alias("s0")), "id", "left"
+        ).select("id", F.coalesce("s0", F.lit(1.0 / n)).alias("s0"))
+        tot = ini.agg(F.sum("s0")).collect()[0][0]  # scalar aggregate
+        rank = ini.select(
+            "id", (F.col("s0") / F.lit(float(tot))).alias("score")
+        ).localCheckpoint(eager=True)
     if rank is None:
         rank = v.select("id", F.lit(1.0 / n).alias("score"))
         rank = rank.localCheckpoint(eager=True)

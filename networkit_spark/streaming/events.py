@@ -172,24 +172,114 @@ def graph_from_events(
 
 # --------------------------------------------------------------- DGS I/O
 def parse_dgs_lines(spark: SparkSession, df_lines: DataFrame) -> DataFrame:
-    """DGSStreamParser (dynamics/DGSStreamParser.cpp) subset: lines
-    `an <id>` / `dn <id>` / `ae <eid> <u> <v> [weight]` / `de <eid>` /
-    `st` → GraphEvent rows. df_lines: (seq, value)."""
-    v = F.split(F.trim("value"), r"\s+")
+    """DGSStreamParser (dynamics/DGSStreamParser.cpp) for the dialect the
+    reference's own DGSWriter emits (dynamics/DGSWriter.cpp:20-52):
+    `an <id>` / `dn <id>` / `rn <id>` (also the writer's space-less `rn<id>`)
+    / `ae <u>-<v> <u> <v> [weight=]<w>` / `de <u>-<v>` /
+    `ce <u>-<v> [weight=]<w>` / `ie <u>-<v> [weight=]<w>` / `st`
+    → GraphEvent rows. Plain integer edge ids (the parser's eid-dict form)
+    are accepted for `ae` (endpoints come from the explicit u v columns);
+    `de`/`ce`/`ie` recover endpoints from the `u-v` eid. Header / comment
+    lines parse to no event and are dropped. df_lines: (seq, value)."""
+    t = F.trim(F.col("value"))
+    v = F.split(t, r"\s+")
+    op = v[0]
+    eid_u = F.split(v[1], "-")[0].cast("long")
+    eid_v = F.split(v[1], "-")[1].cast("long")
+    has_pair = v[1].contains("-")
+    wtok = lambda c: F.regexp_replace(c, "^weight=", "").cast("double")
+    is_rn = t.rlike(r"^rn\s*\d+$")
     return df_lines.select(
         "seq",
-        F.when(v[0] == "an", "NODE_ADDITION")
-        .when(v[0] == "dn", "NODE_REMOVAL")
-        .when(v[0] == "ae", "EDGE_ADDITION")
-        .when(v[0] == "de", "EDGE_REMOVAL")
-        .when(v[0] == "st", "TIME_STEP")
+        F.when(op == "an", "NODE_ADDITION")
+        .when(op == "dn", "NODE_REMOVAL")
+        .when(is_rn, "NODE_RESTORATION")
+        .when(op == "ae", "EDGE_ADDITION")
+        .when(op == "de", "EDGE_REMOVAL")
+        .when(op == "ce", "EDGE_WEIGHT_UPDATE")
+        .when(op == "ie", "EDGE_WEIGHT_INCREMENT")
+        .when(op == "st", "TIME_STEP")
         .alias("type"),
-        F.when(v[0].isin("an", "dn"), v[1].cast("long"))
-        .when(v[0] == "ae", v[2].cast("long"))
+        F.when(op.isin("an", "dn"), v[1].cast("long"))
+        .when(is_rn, F.regexp_extract(t, r"^rn\s*(\d+)$", 1).cast("long"))
+        .when(op == "ae", v[2].cast("long"))
+        .when(op.isin("de", "ce", "ie") & has_pair, eid_u)
         .alias("u"),
-        F.when(v[0] == "ae", v[3].cast("long")).alias("v"),
-        F.when(v[0] == "ae", F.coalesce(v[4].cast("double"), F.lit(1.0))).alias("w"),
+        F.when(op == "ae", v[3].cast("long"))
+        .when(op.isin("de", "ce", "ie") & has_pair, eid_v)
+        .alias("v"),
+        F.when(op == "ae", F.coalesce(wtok(v[4]), F.lit(1.0)))
+        .when(op.isin("ce", "ie"), wtok(v[2]))
+        .alias("w"),
     ).filter(F.col("type").isNotNull())
+
+
+def dgs_lines_from_events(events: DataFrame) -> DataFrame:
+    """DGSWriter (dynamics/DGSWriter.cpp:14-58): GraphEvent rows → DGS
+    lines (seq, value), header included at seq -2/-1. One deliberate
+    deviation: the reference writer emits `rn<id>` with the space missing
+    (DGSWriter.cpp:30 — an upstream quirk); we emit `rn <id>` and
+    parse_dgs_lines accepts both. Round-trips through parse_dgs_lines."""
+    spark = events.sparkSession
+    wfmt = F.format_string("%.6f", F.col("w").cast("double"))
+    body = events.select(
+        F.col("seq").cast("long").alias("seq"),
+        F.when(F.col("type") == "NODE_ADDITION", F.concat_ws(" ", F.lit("an"), F.col("u")))
+        .when(F.col("type") == "NODE_REMOVAL", F.concat_ws(" ", F.lit("dn"), F.col("u")))
+        .when(F.col("type") == "NODE_RESTORATION", F.concat_ws(" ", F.lit("rn"), F.col("u")))
+        .when(
+            F.col("type") == "EDGE_ADDITION",
+            F.concat_ws(
+                " ",
+                F.lit("ae"),
+                F.concat_ws("-", F.col("u"), F.col("v")),
+                F.col("u"),
+                F.col("v"),
+                F.concat(F.lit("weight="), wfmt),
+            ),
+        )
+        .when(
+            F.col("type") == "EDGE_REMOVAL",
+            F.concat_ws(" ", F.lit("de"), F.concat_ws("-", F.col("u"), F.col("v"))),
+        )
+        .when(
+            F.col("type") == "EDGE_WEIGHT_UPDATE",
+            F.concat_ws(
+                " ",
+                F.lit("ce"),
+                F.concat_ws("-", F.col("u"), F.col("v")),
+                F.concat(F.lit("weight="), wfmt),
+            ),
+        )
+        .when(
+            F.col("type") == "EDGE_WEIGHT_INCREMENT",
+            F.concat_ws(
+                " ",
+                F.lit("ie"),
+                F.concat_ws("-", F.col("u"), F.col("v")),
+                F.concat(F.lit("weight="), wfmt),
+            ),
+        )
+        .when(F.col("type") == "TIME_STEP", F.lit("st"))
+        .alias("value"),
+    ).filter(F.col("value").isNotNull())
+    header = spark.createDataFrame(
+        [(-2, "DGS004"), (-1, "noname 0 0")], "seq long, value string"
+    )
+    return header.unionByName(body)
+
+
+def write_dgs(events: DataFrame, path: str) -> None:
+    """Write an event stream as a DGS text file (fixture-format tool —
+    single partition for byte-stable goldens, like write_edge_list)."""
+    (
+        dgs_lines_from_events(events)
+        .orderBy("seq")
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def stream_events_to_state(

@@ -1,0 +1,174 @@
+"""True-incremental Dyn* paths vs recompute oracles (distance/DynBFS.cpp,
+DynDijkstra.cpp, components/DynConnectedComponents.cpp, batch triangle
+delta-counting)."""
+
+import math
+
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.dynamics import (
+    DynBFS,
+    DynDijkstra,
+    DynTriangleCount,
+    incremental_sssp_additions,
+    incremental_triangle_additions,
+    incremental_triangle_removals,
+)
+from networkit_spark.operators.triangles import triangle_counts
+from networkit_spark.operators.bfs import bfs_distances, sssp_multi_distances
+from networkit_spark.streaming.events import events_from_list
+
+from tests.fixtures import KARATE_EDGES, KARATE_N
+
+
+def _counts(df):
+    return {r["id"]: r["triangles"] for r in df.collect()}
+
+
+def _dists(df):
+    return {(r["source"], r["id"]): r["dist"] for r in df.collect()}
+
+
+def test_incremental_triangle_additions_matches_recompute(spark):
+    # old graph: karate minus a batch that includes single-new-edge,
+    # two-new-edges-sharing-a-triangle, and an all-new triangle on 40-42
+    batch = [(0, 1), (0, 2), (32, 33), (40, 41), (41, 42), (40, 42)]
+    old_edges = [e for e in KARATE_EDGES if e not in batch]
+    g_old = GraphDF.from_edge_list(spark, old_edges, num_nodes=43)
+    g_new = GraphDF.from_edge_list(
+        spark, old_edges + batch, num_nodes=43
+    )
+    before = triangle_counts(g_old)
+    b = spark.createDataFrame(batch, "src long, dst long")
+    got = _counts(incremental_triangle_additions(before, g_new, b))
+    want = _counts(triangle_counts(g_new))
+    assert got == want
+
+
+def test_incremental_triangle_removals_matches_recompute(spark):
+    batch = [(0, 1), (0, 2), (2, 3), (32, 33)]
+    g_old = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    kept = [e for e in KARATE_EDGES if e not in batch]
+    g_new = GraphDF.from_edge_list(spark, kept, num_nodes=KARATE_N)
+    before = triangle_counts(g_old)
+    b = spark.createDataFrame(batch, "src long, dst long")
+    got = _counts(incremental_triangle_removals(before, g_old, b))
+    want = _counts(triangle_counts(g_new))
+    assert got == want
+
+
+def test_dyn_triangle_count_routes_incrementally(spark):
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3)], num_nodes=5
+    )
+    dyn = DynTriangleCount(g)
+    # additions-only batch: closes triangle 0-1-2 and re-adds existing 1-2
+    ev = events_from_list(
+        spark,
+        [
+            (0, "EDGE_ADDITION", 0, 2, 1.0),
+            (1, "EDGE_ADDITION", 1, 2, 1.0),
+            (2, "EDGE_ADDITION", 3, 4, 1.0),
+        ],
+    )
+    got = _counts(dyn.update(ev))
+    want = _counts(triangle_counts(dyn.graph))
+    assert got == want
+    assert got[0] == 1 and got[4] == 0
+    # removals-only batch, including a non-existent edge (no-op)
+    ev2 = events_from_list(
+        spark,
+        [
+            (0, "EDGE_REMOVAL", 0, 2, None),
+            (1, "EDGE_REMOVAL", 0, 4, None),
+        ],
+    )
+    got2 = _counts(dyn.update(ev2))
+    want2 = _counts(triangle_counts(dyn.graph))
+    assert got2 == want2
+    assert got2[0] == 0
+
+
+def test_incremental_bfs_additions_matches_recompute(spark):
+    # path 0-1-2-3-4-5 plus island 6-7; add shortcut (0,4) and bridge (5,6)
+    old_edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7)]
+    g_old = GraphDF.from_edge_list(spark, old_edges, num_nodes=8)
+    new_e = [(0, 4), (5, 6)]
+    g_new = GraphDF.from_edge_list(spark, old_edges + new_e, num_nodes=8)
+    sources = [0, 2]
+    before = bfs_distances(g_old, sources)
+    b = spark.createDataFrame(new_e, "src long, dst long")
+    got = _dists(incremental_sssp_additions(before, g_new, b))
+    want = _dists(bfs_distances(g_new, sources))
+    assert got == want
+    # the island was unreached before; now reached through the bridge
+    # (0 →(new) 4 → 5 →(new) 6 → 7)
+    assert got[(0, 7)] == 4
+
+
+def test_incremental_sssp_weighted_matches_recompute(spark):
+    old_edges = [
+        (0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (0, 3, 10.0),
+    ]
+    new_e = [(0, 2, 0.5)]
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    g_old = GraphDF(
+        v, spark.createDataFrame(old_edges, "src long, dst long, weight double"),
+        weighted=True,
+    )
+    g_new = GraphDF(
+        v,
+        spark.createDataFrame(
+            old_edges + new_e, "src long, dst long, weight double"
+        ),
+        weighted=True,
+    )
+    before = sssp_multi_distances(g_old, [0])
+    b = spark.createDataFrame(new_e, "src long, dst long, weight double")
+    got = _dists(incremental_sssp_additions(before, g_new, b, weighted=True))
+    want = _dists(sssp_multi_distances(g_new, [0]))
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), k
+    assert math.isclose(got[(0, 3)], 1.5, abs_tol=1e-9)
+
+
+def test_dyn_bfs_and_dijkstra_update(spark):
+    g = GraphDF.from_edge_list(spark, [(0, 1), (1, 2), (3, 4)], num_nodes=5)
+    dyn = DynBFS(g, sources=[0])
+    assert (0, 4) not in _dists(dyn.result)
+    ev = events_from_list(spark, [(0, "EDGE_ADDITION", 2, 3, 1.0)])
+    got = _dists(dyn.update(ev))
+    assert got == _dists(bfs_distances(dyn.graph, [0]))
+    assert got[(0, 4)] == 4
+
+    vdf = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    gw = GraphDF(
+        vdf,
+        spark.createDataFrame(
+            [(0, 1, 4.0), (1, 2, 4.0)], "src long, dst long, weight double"
+        ),
+        weighted=True,
+    )
+    dyn2 = DynDijkstra(gw, sources=[0])
+    ev2 = events_from_list(spark, [(0, "EDGE_ADDITION", 0, 2, 1.5)])
+    got2 = _dists(dyn2.update(ev2))
+    assert math.isclose(got2[(0, 2)], 1.5, abs_tol=1e-9)
+    assert math.isclose(got2[(0, 1)], 4.0, abs_tol=1e-9)
+
+
+def test_pagerank_warm_start_converges_immediately(spark):
+    from networkit_spark.operators.pagerank import pagerank
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    cold_stats: dict = {}
+    fix = pagerank(g, tol=1e-10, stats=cold_stats)
+    warm_stats: dict = {}
+    again = pagerank(g, tol=1e-10, init_scores=fix, stats=warm_stats)
+    # starting AT the fixpoint, the delta is under tol within a couple of
+    # supersteps; cold start needs dozens at this tol
+    assert len(warm_stats["iter_secs"]) <= 3
+    assert len(cold_stats["iter_secs"]) > 3 * len(warm_stats["iter_secs"])
+    a = {r["id"]: r["score"] for r in fix.collect()}
+    c = {r["id"]: r["score"] for r in again.collect()}
+    for k in a:
+        assert math.isclose(a[k], c[k], abs_tol=1e-8)

@@ -69,6 +69,12 @@ GEDW_GROUP = [0, 1]      # gedwalk scored group
 GEDW_ALPHA = 0.25
 GEDW_L = 4               # gedwalk truncation depth
 GC_K = 2                 # group-closeness greedy picks
+DIFF_RM_MOD = 7          # graph-difference: (src*31+dst)%7==0 edges dropped
+DIFF_W_MOD = 5           # (src+dst)%5==0 kept edges get weight+1
+DIFF_OFFSET = 10_000_000  # added edges target dst+OFFSET (fresh node ids)
+DYNBFS_HOLD_MOD = 9      # dyn-bfs: (src*31+dst)%9==0 edges held out, re-added
+DYNBFS_SOURCES = [1, 2, 3]
+DYNBFS_MAXD = 12         # oracle recursion bound ≥ full-graph eccentricity
 
 
 # ===================================================================== Spark
@@ -892,6 +898,64 @@ def q_group_closeness_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_diff_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphDifference edit-class counts (dynamics/GraphDifference.cpp)
+    between the supplier-co graph and a deterministic mutation of it:
+    (src*31+dst)%DIFF_RM_MOD==0 edges removed and re-targeted to fresh
+    node ids (+DIFF_OFFSET), (src+dst)%DIFF_W_MOD==0 survivors get
+    weight+1 — exercising removals, node removals/additions, additions,
+    and weight updates in one row."""
+    from networkit_spark.streaming.difference import graph_difference_counts
+
+    tune_for_iteration(spark)
+    g1 = tg.supplier_co_graph(spark, sf_dir)
+    e1 = g1.E
+    key = (F.col("src") * 31 + F.col("dst")) % DIFF_RM_MOD
+    kept = e1.filter(key != 0).select(
+        "src",
+        "dst",
+        F.when((F.col("src") + F.col("dst")) % DIFF_W_MOD == 0,
+               F.col("weight") + 1.0)
+        .otherwise(F.col("weight"))
+        .alias("weight"),
+    )
+    added = e1.filter(key == 0).select(
+        "src",
+        (F.col("dst") + F.lit(DIFF_OFFSET)).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    from networkit_spark.graph import GraphDF
+
+    g2 = GraphDF.from_edges(
+        kept.unionByName(added), directed=False, weighted=True
+    )
+    return graph_difference_counts(g1, g2)
+
+
+def q_dyn_bfs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DynBFS (distance/DynBFS.cpp): hold out
+    (src*31+dst)%DYNBFS_HOLD_MOD==0 edges, run the batched BFS from
+    DYNBFS_SOURCES on the reduced graph, then re-insert the held-out
+    edges through incremental_sssp_additions — the oracle computes the
+    FULL-graph distances directly, so the gate proves the incremental
+    update lands exactly on the recompute answer."""
+    from networkit_spark.graph import GraphDF
+    from networkit_spark.operators.bfs import bfs_distances
+    from networkit_spark.operators.dynamics import incremental_sssp_additions
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    key = (F.col("src") * 31 + F.col("dst")) % DYNBFS_HOLD_MOD
+    hold = g.E.filter(key == 0).select("src", "dst")
+    kept = g.E.filter(key != 0)
+    g_old = GraphDF(g.V, kept, directed=False, weighted=True)
+    before = bfs_distances(g_old, DYNBFS_SOURCES)
+    after = incremental_sssp_additions(before, g, hold)
+    return after.select(
+        "source", "id", F.col("dist").cast("long").alias("dist")
+    ).orderBy("source", "id")
+
+
 def q_simple_paths_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All simple paths SP_SOURCE→SP_TARGET (≤ SP_CUTOFF edges) on the
     directed conv-adjacency graph — paths rendered as '-'-joined strings
@@ -972,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_conv": q_volume_conv,
         "gedwalk_score_supplier": q_gedwalk_score_supplier,
         "group_closeness_supplier": q_group_closeness_supplier,
+        "graph_diff_supplier": q_graph_diff_supplier,
+        "dyn_bfs_supplier": q_dyn_bfs_supplier,
         "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
         "luby_mis_supplier": q_luby_mis_supplier,
@@ -2164,6 +2230,73 @@ def _group_closeness_sql(edges_cte: str, max_d: int, k: int) -> str:
     return "\n".join(parts)
 
 
+def _graph_diff_sql(edges_cte: str, rm_mod: int, w_mod: int,
+                    offset: int) -> str:
+    """Edit-class counts of the same deterministic mutation, as pure set
+    algebra (anti-joins + changed-weight join) — mirrors
+    streaming/difference.py graph_difference_counts."""
+    return f"""
+WITH {edges_cte},
+v1 AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+kept AS (SELECT src, dst,
+                CASE WHEN (src + dst) % {w_mod} = 0 THEN weight + 1.0
+                     ELSE weight END AS w2
+         FROM edges WHERE (src * 31 + dst) % {rm_mod} <> 0),
+added AS (SELECT src, dst + {offset} AS dst, CAST(1.0 AS DOUBLE) AS w2
+          FROM edges WHERE (src * 31 + dst) % {rm_mod} = 0),
+e2 AS (SELECT src, dst, w2 FROM kept
+       UNION ALL SELECT src, dst, w2 FROM added),
+v2 AS (SELECT src AS id FROM e2 UNION SELECT dst FROM e2),
+mx AS (SELECT MAX(id) AS m FROM v1),
+c AS (SELECT
+  (SELECT COUNT(*) FROM edges e WHERE NOT EXISTS
+     (SELECT 1 FROM e2 WHERE e2.src = e.src AND e2.dst = e.dst))
+    AS edge_removals,
+  (SELECT COUNT(*) FROM v1 WHERE id NOT IN (SELECT id FROM v2))
+    AS node_removals,
+  (SELECT COUNT(*) FROM v2 WHERE id NOT IN (SELECT id FROM v1)
+     AND id <= (SELECT m FROM mx)) AS node_restorations,
+  (SELECT COUNT(*) FROM v2 WHERE id NOT IN (SELECT id FROM v1)
+     AND id > (SELECT m FROM mx)) AS node_additions,
+  (SELECT COUNT(*) FROM e2 WHERE NOT EXISTS
+     (SELECT 1 FROM edges e WHERE e.src = e2.src AND e.dst = e2.dst))
+    AS edge_additions,
+  (SELECT COUNT(*) FROM e2 JOIN edges e
+     ON e.src = e2.src AND e.dst = e2.dst WHERE e.weight <> e2.w2)
+    AS weight_updates)
+SELECT CAST(edge_removals AS BIGINT) AS edge_removals,
+       CAST(node_removals AS BIGINT) AS node_removals,
+       CAST(node_restorations AS BIGINT) AS node_restorations,
+       CAST(node_additions AS BIGINT) AS node_additions,
+       CAST(edge_additions AS BIGINT) AS edge_additions,
+       CAST(weight_updates AS BIGINT) AS weight_updates,
+       CAST(edge_removals + node_removals + node_restorations
+            + node_additions + edge_additions + weight_updates AS BIGINT)
+         AS total_edits
+FROM c
+"""
+
+
+def _dyn_bfs_sql(edges_cte: str, sources: list[int], max_d: int) -> str:
+    """FULL-graph multi-source BFS distances — the recompute answer the
+    incremental update must land on exactly."""
+    seeds = ", ".join(f"({int(s)})" for s in sources)
+    return f"""
+WITH RECURSIVE {edges_cte},
+und AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+walk(source, id, d) AS (
+  SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+  FROM (VALUES {seeds}) AS t(s)
+  UNION
+  SELECT walk.source, u.b, walk.d + 1 FROM walk
+  JOIN und u ON u.a = walk.id WHERE walk.d < {max_d}
+)
+SELECT source, id, MIN(d) AS dist FROM walk
+GROUP BY source, id ORDER BY source, id
+"""
+
+
 def _oracle_sql_raw() -> dict[str, str]:
     stop5 = ["the", "a", "of", "and", "to"]
     stop_terms = " + ".join(
@@ -2179,6 +2312,13 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "kpath_supplier": _kpath_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), KPATH_K, KPATH_T, KPATH_SEED
+        ),
+        "graph_diff_supplier": _graph_diff_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), DIFF_RM_MOD, DIFF_W_MOD,
+            DIFF_OFFSET,
+        ),
+        "dyn_bfs_supplier": _dyn_bfs_sql(
+            tg.SUPPLIER_CO_EDGES_CTE.strip(), DYNBFS_SOURCES, DYNBFS_MAXD
         ),
         "gedwalk_score_supplier": _gedwalk_score_sql(
             tg.SUPPLIER_CO_EDGES_CTE.strip(), GEDW_GROUP, GEDW_ALPHA, GEDW_L

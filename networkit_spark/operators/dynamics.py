@@ -255,6 +255,50 @@ class DynDijkstra(DynBFS):
     _weighted = True
 
 
+class DynAPSP(DynBFS):
+    """DynAPSP (distance/DynAPSP.cpp:30-41 runs one SSSP per node; its
+    update relaxes only affected pairs): here APSP IS the multi-source
+    batched BFS/SSSP with sources = V (operators/bfs.py apsp), so the
+    incremental addition update is the same affected-frontier relaxation
+    keyed (source, node) — all sources repair in SHARED supersteps.
+    O(n²/p) state by definition of the output; the per-update work is
+    O(affected pairs), as in the reference."""
+
+    def __init__(self, graph: GraphDF, weighted: bool | None = None):
+        self._weighted = graph.weighted if weighted is None else weighted
+        super(DynBFS, self).__init__(graph)
+
+    def _solve(self) -> None:
+        from networkit_spark.operators.bfs import (
+            bfs_distances,
+            sssp_multi_distances,
+        )
+
+        sources = self.graph.V.select("id")
+        fn = sssp_multi_distances if self._weighted else bfs_distances
+        self.result = fn(self.graph, sources).localCheckpoint(eager=True)
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        if not types <= {"EDGE_ADDITION", "NODE_ADDITION"}:
+            return False
+        # a NEW node is a fresh source: seed its own zero row so the
+        # relaxation grows its distance ball too
+        new_nodes = self.graph.V.join(old_graph.V, "id", "left_anti")
+        zero = F.lit(0.0) if self._weighted else F.lit(0).cast("long")
+        self.result = self.result.unionByName(
+            new_nodes.select(
+                F.col("id").alias("source"), "id", zero.alias("dist")
+            )
+        )
+        new_edges = _canonical_batch_edges(
+            events, "EDGE_ADDITION", self.graph.directed
+        )
+        self.result = incremental_sssp_additions(
+            self.result, self.graph, new_edges, weighted=self._weighted
+        ).localCheckpoint(eager=True)
+        return True
+
+
 def incremental_wcc_additions(
     labels: DataFrame, new_edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:

@@ -156,6 +156,26 @@ def test_dyn_bfs_and_dijkstra_update(spark):
     assert math.isclose(got2[(0, 1)], 4.0, abs_tol=1e-9)
 
 
+def test_dyn_apsp_update_matches_recompute(spark):
+    from networkit_spark.operators.dynamics import DynAPSP
+
+    g = GraphDF.from_edge_list(spark, [(0, 1), (1, 2), (3, 4)], num_nodes=5)
+    dyn = DynAPSP(g)
+    # add node 5 and edges bridging everything
+    ev = events_from_list(
+        spark,
+        [
+            (0, "NODE_ADDITION", 5, None, None),
+            (1, "EDGE_ADDITION", 2, 3, 1.0),
+            (2, "EDGE_ADDITION", 4, 5, 1.0),
+        ],
+    )
+    got = _dists(dyn.update(ev))
+    want = _dists(bfs_distances(dyn.graph, dyn.graph.V.select("id")))
+    assert got == want
+    assert got[(0, 5)] == 5 and got[(5, 0)] == 5
+
+
 def test_pagerank_warm_start_converges_immediately(spark):
     from networkit_spark.operators.pagerank import pagerank
 

@@ -114,9 +114,9 @@ def read_metis(spark: SparkSession, path: str) -> GraphDF:
         spark.read.text(path)
         .select(F.monotonically_increasing_id().alias("mono"), "value")
     )
-    # stable line numbering within a single file read: order by mono
-    w = Window.orderBy("mono")
-    lines = lines.withColumn("ln", F.row_number().over(w) - F.lit(1))
+    # stable line numbering within a single file read — two-stage
+    # scale-safe rank, no single-partition window
+    lines = global_row_numbers(lines, ["mono"], out_col="ln")
     header = lines.filter("ln = 0").collect()[0]["value"].split()
     n = int(header[0])
     body = lines.filter(F.col("ln") >= 1).select(
@@ -293,10 +293,12 @@ def read_partition(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path).select(
         F.monotonically_increasing_id().alias("mono"), "value"
     )
-    w = Window.orderBy("mono")
     return (
-        lines.withColumn("id", (F.row_number().over(w) - F.lit(1)).cast("long"))
-        .select("id", F.col("value").cast("long").alias("label"))
+        global_row_numbers(lines, ["mono"], out_col="id")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("value").cast("long").alias("label"),
+        )
     )
 
 
@@ -318,11 +320,10 @@ def read_cover(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path).select(
         F.monotonically_increasing_id().alias("mono"), "value"
     )
-    w = Window.orderBy("mono")
-    numbered = (
-        lines.filter(~F.col("value").startswith("#"))
-        .withColumn("subset", (F.row_number().over(w) - F.lit(1)).cast("long"))
-    )
+    numbered = global_row_numbers(
+        lines.filter(~F.col("value").startswith("#")), ["mono"],
+        out_col="subset",
+    ).withColumn("subset", F.col("subset").cast("long"))
     return (
         numbered.select(
             "subset",

@@ -538,3 +538,55 @@ def incremental_triangle_removals(
     )
     delta = _triangle_batch_delta(adj, removed_edges)
     return _apply_triangle_delta(counts, delta, -1)
+
+
+class DynTopHarmonicCloseness(DynAPSP):
+    """DynTopHarmonicCloseness (centrality/DynTopHarmonicCloseness.cpp —
+    maintains the exact top-k harmonic closeness under GraphEvents; the
+    reference keeps per-node bounds + a heap, rebuilding affected BFS
+    trees). Spark mapping: the maintained state IS the incrementally
+    repaired all-pairs distance table (DynAPSP); after each batch the
+    harmonic sums are ONE aggregation over the changed table and top-k is
+    the distributed TakeOrdered — so the per-update cost is the affected
+    pairs plus one |reached-pairs| agg, never n fresh BFS runs.
+
+    result: (id, harmonic) of the CURRENT top-k, score-desc with id
+    tie-break (ties at the cut included deterministically)."""
+
+    def __init__(self, graph: GraphDF, k: int = 10,
+                 weighted: bool | None = None):
+        self.k = int(k)
+        self.dist: DataFrame | None = None
+        super().__init__(graph, weighted=weighted)
+
+    def _top_from_dist(self) -> DataFrame:
+        harm = (
+            self.dist.filter(F.col("dist") > 0)
+            .groupBy(F.col("id"))
+            .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
+        )
+        # nodes reaching nobody still rank (harmonic 0)
+        harm = self.graph.V.join(harm, "id", "left").select(
+            "id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+        )
+        # rank on the ROUNDED score with an id tie-break (CLAUDE.md rule:
+        # FP noise must not decide who makes the cut)
+        return (
+            harm.orderBy(F.desc(F.round("harmonic", 9)), F.asc("id"))
+            .limit(self.k)
+            .localCheckpoint(eager=True)
+        )
+
+    def _solve(self) -> None:
+        super()._solve()
+        self.dist = self.result
+        self.result = self._top_from_dist()
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        self.result = self.dist  # hand DynAPSP its distance state back
+        if not super()._update_incremental(old_graph, events, types):
+            self._solve()
+            return True
+        self.dist = self.result
+        self.result = self._top_from_dist()
+        return True

@@ -176,6 +176,35 @@ def test_dyn_apsp_update_matches_recompute(spark):
     assert got[(0, 5)] == 5 and got[(5, 0)] == 5
 
 
+def test_dyn_top_harmonic_closeness(spark):
+    from networkit_spark.operators.dynamics import DynTopHarmonicCloseness
+
+    def want(graph, k):
+        d = bfs_distances(graph, graph.V.select("id")).collect()
+        harm = {}
+        for r in d:
+            if r["dist"] > 0:
+                harm[r["id"]] = harm.get(r["id"], 0.0) + 1.0 / r["dist"]
+        for r in graph.V.collect():
+            harm.setdefault(r["id"], 0.0)
+        ranked = sorted(harm.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))
+        return [(i, round(h, 6)) for i, h in ranked[:k]]
+
+    # path 0-1-2-3-4: center 2 leads
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4)], num_nodes=5
+    )
+    dyn = DynTopHarmonicCloseness(g, k=3)
+    got = [(r["id"], round(r["harmonic"], 6)) for r in dyn.result.collect()]
+    assert got == want(g, 3)
+    # close the ring: all nodes tie, id tie-break decides
+    ev = events_from_list(spark, [(0, "EDGE_ADDITION", 0, 4, 1.0)])
+    got2 = [(r["id"], round(r["harmonic"], 6))
+            for r in dyn.update(ev).collect()]
+    assert got2 == want(dyn.graph, 3)
+    assert [i for i, _ in got2] == [0, 1, 2]
+
+
 def test_pagerank_warm_start_converges_immediately(spark):
     from networkit_spark.operators.pagerank import pagerank
 

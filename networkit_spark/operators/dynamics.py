@@ -170,6 +170,11 @@ class DynTriangleCount(DynAlgorithm):
         weight_only = {"EDGE_WEIGHT_UPDATE", "EDGE_WEIGHT_INCREMENT"}
         if types <= weight_only:
             return True  # weights don't change the triangle structure
+        if self.graph.directed:
+            # an addition (u,v) with (v,u) already present is NOT a new
+            # undirected edge; the canonical-key novelty check below can't
+            # see that, so directed graphs take the recompute path
+            return False
         old_e = old_graph.E.select("src", "dst")
         if types <= ({"EDGE_ADDITION", "NODE_ADDITION"} | weight_only):
             # only edges that did NOT already exist create triangles

@@ -395,18 +395,30 @@ def incremental_sssp_additions(
     adj = adj.repartition("src").sortWithinPartitions("src").persist()
     adj.count()
 
+    # `total` stays UNTOUCHED until the end: the loop accumulates only the
+    # affected rows (`acc`), so per-superstep checkpoints are O(affected),
+    # never a rewrite of the full (possibly n²-row APSP) distance table —
+    # the merge back is a single anti-join + union after convergence
     total = dist.select("source", "id", "dist").localCheckpoint(eager=True)
 
-    def _improvements(cand: DataFrame) -> DataFrame:
-        """strictly-better-or-new (source, id, dist) rows vs `total`."""
-        best = cand.groupBy("source", "id").agg(F.min("nd").alias("dist"))
-        cur = total.select(
-            "source", "id", F.col("dist").alias("cur")
+    def _improvements(cand: DataFrame, acc: DataFrame | None) -> DataFrame:
+        """(source, id, dist) rows of `cand` strictly better than both the
+        baseline `total` and the improvements accumulated so far."""
+        best = cand.groupBy("source", "id").agg(F.min("nd").alias("nd"))
+        j = best.join(
+            total.select("source", "id", F.col("dist").alias("d_old")),
+            ["source", "id"], "left",
         )
-        return (
-            best.join(cur, ["source", "id"], "left")
-            .filter(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
-            .select("source", "id", "dist")
+        if acc is not None:
+            j = j.join(
+                acc.select("source", "id", F.col("dist").alias("d_acc")),
+                ["source", "id"], "left",
+            )
+        else:
+            j = j.withColumn("d_acc", F.lit(None).cast("double"))
+        cur = F.least("d_old", "d_acc")  # least() skips NULLs
+        return j.filter(cur.isNull() | (F.col("nd") < cur)).select(
+            "source", "id", F.col("nd").alias("dist")
         )
 
     # seed: sources that reach a new edge's tail improve its head
@@ -420,17 +432,12 @@ def incremental_sssp_additions(
                                 else F.lit(1))).alias("nd"),
         )
     )
-    frontier = _improvements(seed_cand).localCheckpoint(eager=True)
+    acc = _improvements(seed_cand, None).localCheckpoint(eager=True)
+    frontier = acc
 
     it = 0
     while frontier.limit(1).count() > 0 and it < max_iterations:
         it += 1
-        total = (
-            total.join(frontier.select("source", "id"), ["source", "id"],
-                       "left_anti")
-            .unionByName(frontier)
-            .localCheckpoint(eager=True)
-        )
         cand = (
             frontier.alias("f")
             .join(adj.alias("e"), F.col("f.id") == F.col("e.src"))
@@ -441,9 +448,20 @@ def incremental_sssp_additions(
                                     if weighted else F.lit(1))).alias("nd"),
             )
         )
-        frontier = _improvements(cand).localCheckpoint(eager=True)
+        frontier = _improvements(cand, acc).localCheckpoint(eager=True)
+        if frontier.limit(1).count() == 0:
+            break
+        acc = (
+            acc.join(frontier.select("source", "id"), ["source", "id"],
+                     "left_anti")
+            .unionByName(frontier)
+            .localCheckpoint(eager=True)
+        )
     adj.unpersist()
-    return total
+    return (
+        total.join(acc.select("source", "id"), ["source", "id"], "left_anti")
+        .unionByName(acc)
+    )
 
 
 def _triangle_batch_delta(adj_edges: DataFrame, batch: DataFrame) -> DataFrame:

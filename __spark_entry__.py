@@ -631,6 +631,29 @@ def q_triangles_transcripts_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(g).orderBy("id")
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregates per event_type
+    (streaming/windows.py — identical program runs under readStream with a
+    watermark; batch mode is what the oracle pins, time_bucket in DuckDB).
+    win_start emitted as epoch seconds BIGINT (whole-hour buckets)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    from networkit_spark.streaming.windows import windowed_event_counts
+
+    ev = tg.load(spark, sf_dir, "events")
+    agg = windowed_event_counts(ev, window="1 hour")
+    return agg.select(
+        # parquet ts is TIMESTAMP_NTZ; NTZ→TZ under the UTC session zone,
+        # then epoch seconds
+        F.col("win_start").cast("timestamp").cast("long").alias("win_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 6).alias("total"),
+    ).orderBy("win_start", "event_type")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per user, 30-min inactivity gap splits sessions —
     the canonical streaming-adjacent window op."""
@@ -1020,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plp_transcripts_conv": q_plp_transcripts_conv,
         "triangles_transcripts_conv": q_triangles_transcripts_conv,
         "events_sessions": q_events_sessions,
+        "windowed_events": q_windowed_events,
         "quality_documents": q_quality_documents,
         "language_id_documents": q_language_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -2514,6 +2538,15 @@ SELECT src, dst, weight FROM edges ORDER BY src, dst
         "triangles_transcripts_conv": _triangles_sql(
             _conv_edges_cte(N_CONVS).strip()
         ),
+        "windowed_events": """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
         "events_sessions": f"""
 WITH marked AS (
   SELECT user_id, event_id, ts,

@@ -158,6 +158,134 @@ def bidirectional_bfs(
     return best
 
 
+def bidirectional_dijkstra(
+    graph: GraphDF, source: int, target: int, max_iterations: int = 10_000
+) -> float | None:
+    """BidirectionalDijkstra (distance/BidirectionalDijkstra.cpp): point-to-
+    point WEIGHTED distance by two pruned ball relaxations. A priority
+    queue is inherently sequential, so the distributed re-expression
+    relaxes the (smaller) frontier each superstep and prunes with the
+    best meet: any s→t path through a frontier node u costs
+    ds(u) + dt(u) ≥ ds(u), so a frontier label with ds ≥ best can never
+    improve the optimum (non-negative weights) and is culled — the
+    balls stop growing once the meet is certified, the same territory
+    bound the reference's queue tops enforce. Exact; returns None when
+    unreachable."""
+    if source == target:
+        return 0.0
+    spark = graph.V.sparkSession
+    fwd = (graph.E if graph.directed else graph.E_sym).select(
+        "src", "dst", "weight"
+    )
+    bwd = (
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        if graph.directed
+        else fwd
+    )
+    fwd = fwd.repartition("src").sortWithinPartitions("src").persist()
+    fwd.count()
+    if graph.directed:
+        bwd = bwd.repartition("src").sortWithinPartitions("src").persist()
+        bwd.count()
+
+    def mk(node):
+        return spark.createDataFrame(
+            [(int(node), 0.0)], "id long, dist double"
+        ).localCheckpoint(eager=True)
+
+    vis_s, vis_t = mk(source), mk(target)
+    frontier_s, frontier_t = vis_s, vis_t
+    best = None
+    for _ in range(max_iterations):
+        meet = (
+            vis_s.select("id", F.col("dist").alias("ds"))
+            .join(vis_t.select("id", F.col("dist").alias("dt")), "id")
+            .agg(F.min(F.col("ds") + F.col("dt")))
+            .collect()[0][0]
+        )
+        if meet is not None:
+            best = float(meet) if best is None else min(best, float(meet))
+            # cull labels that can no longer improve the certified meet
+            frontier_s = frontier_s.filter(F.col("dist") < F.lit(best))
+            frontier_t = frontier_t.filter(F.col("dist") < F.lit(best))
+        cs, ct = frontier_s.count(), frontier_t.count()
+        if cs == 0 and ct == 0:
+            break
+        expand_s = ct == 0 or (cs != 0 and cs <= ct)
+        edges = fwd if expand_s else bwd
+        vis, frontier = (vis_s, frontier_s) if expand_s else (vis_t, frontier_t)
+        cand = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("nd"),
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        imp = (
+            cand.join(vis.select("id", F.col("dist").alias("cur")), "id", "left")
+            .filter(F.col("cur").isNull() | (F.col("nd") < F.col("cur")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        merged = (
+            vis.join(imp.select("id"), "id", "left_anti")
+            .unionByName(imp)
+            .localCheckpoint(eager=True)
+        )
+        if expand_s:
+            frontier_s, vis_s = imp, merged
+        else:
+            frontier_t, vis_t = imp, merged
+    fwd.unpersist()
+    if graph.directed:
+        bwd.unpersist()
+    return best
+
+
+def neighborhood_function_heuristic(
+    graph: GraphDF,
+    n_samples: int = 64,
+    seed: int = 42,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """NeighborhoodFunctionHeuristic
+    (distance/NeighborhoodFunctionHeuristic.cpp:70-96): (h, count) — the
+    sampled NF: per-distance reach counts from `n_samples` LCG-seeded
+    sources (the reference's RANDOM strategy), scaled by n/s and
+    prefix-summed; h = 1 pinned to the exact 2m and h = diameter to the
+    exact n(n−1), as the reference does. Deviation (documented): the
+    reference runs its exact Diameter first; here the sampled maximum
+    distance stands in for it — a lower bound that matches whenever a
+    sampled source realizes the diameter."""
+    n = graph.number_of_nodes()
+    m = graph.number_of_edges()
+    sources = graph.random_nodes_lcg(n_samples, seed)
+    s = sources.count()
+    dist = bfs_distances(graph, sources, max_depth=max_depth)
+    per = {
+        int(r["dist"]): int(r["n"])
+        for r in dist.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").alias("n"))
+        .collect()  # ≤ diameter rows: metadata
+    }
+    dia = max(per) if per else 0
+    rows = []
+    acc = 0
+    for h in range(1, dia + 1):
+        if h == 1:
+            acc = 2 * m
+        elif h == dia:
+            acc = n * (n - 1)
+        else:
+            acc += round(per.get(h, 0) * (n / float(s)))
+        rows.append((h, int(acc)))
+    spark = graph.V.sparkSession
+    return spark.createDataFrame(rows, "h long, count long")
+
+
 def astar(
     graph: GraphDF,
     source: int,

@@ -478,3 +478,196 @@ def stable_partition_nodes(graph: GraphDF, partition: DataFrame) -> DataFrame:
     return partition.select("id").join(verdict, "id", "left").select(
         "id", F.coalesce("stable", F.lit(True)).alias("stable")
     )
+
+
+def edge_cut(graph: GraphDF, partition: DataFrame) -> float:
+    """EdgeCut (community/EdgeCut.cpp:12-20): total weight of edges whose
+    endpoints sit in different blocks, each edge counted once."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    row = (
+        graph.E.join(p_src, "src")
+        .join(p_dst, "dst")
+        .filter(F.col("l_src") != F.col("l_dst"))
+        .agg(F.sum("weight").alias("cut"))
+        .collect()[0]
+    )
+    return float(row["cut"] or 0.0)
+
+
+def cover_hub_dominance(graph: GraphDF, cover: DataFrame) -> DataFrame:
+    """CoverHubDominance (community/CoverHubDominance.cpp): per subset of an
+    OVERLAPPING cover (id, subset), max internal degree / (size − 1) —
+    internal = neighbors sharing that same subset."""
+    m_src = cover.select(F.col("id").alias("src"), "subset")
+    m_dst = cover.select(F.col("id").alias("dst"), "subset")
+    intra = (
+        graph.E_sym.filter("src != dst")
+        .join(m_src, "src")
+        .join(m_dst, ["dst", "subset"])
+        .groupBy(F.col("src").alias("id"), "subset")
+        .agg(F.count("*").alias("ideg"))
+    )
+    sizes = cover.groupBy("subset").agg(F.count("*").alias("sz"))
+    maxes = intra.groupBy("subset").agg(F.max("ideg").alias("max_ideg"))
+    return sizes.join(maxes, "subset", "left").select(
+        "subset",
+        F.when(
+            F.col("sz") > 1,
+            F.coalesce("max_ideg", F.lit(0)) / (F.col("sz") - 1),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("dominance"),
+    )
+
+
+def _lcg_key(col, seed: int):
+    return ((col + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)) % F.lit(
+        2147483648
+    )
+
+
+def sampled_node_structural_rand(
+    graph: GraphDF, a: DataFrame, b: DataFrame, n_samples: int,
+    seed: int = 42,
+) -> float:
+    """SampledNodeStructuralRandMeasure
+    (community/SampledNodeStructuralRandMeasure.cpp:17-47): dissimilarity
+    1 − (n11+n00)/samples over sampled node pairs. Deterministic analog of
+    the reference's RNG draw: the i-th pair zips two LCG-seeded orderings
+    of V (cross-engine-expressible, like every sampled operator here);
+    pairs with u == v are discarded exactly as the reference does."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    us = global_row_numbers(
+        graph.V.select("id", _lcg_key(F.col("id"), seed).alias("k")),
+        ["k", "id"], out_col="i",
+    ).filter(F.col("i") < n_samples).select("i", F.col("id").alias("u"))
+    vs = global_row_numbers(
+        graph.V.select("id", _lcg_key(F.col("id"), seed + 1).alias("k")),
+        ["k", "id"], out_col="i",
+    ).filter(F.col("i") < n_samples).select("i", F.col("id").alias("v"))
+    pairs = us.join(vs, "i").filter(F.col("u") != F.col("v"))
+    la = a.select(F.col("id").alias("u"), F.col("label").alias("au"))
+    lb = b.select(F.col("id").alias("u"), F.col("label").alias("bu"))
+    la2 = a.select(F.col("id").alias("v"), F.col("label").alias("av"))
+    lb2 = b.select(F.col("id").alias("v"), F.col("label").alias("bv"))
+    agg = (
+        pairs.join(la, "u").join(lb, "u").join(la2, "v").join(lb2, "v")
+        .agg(
+            F.count("*").alias("s"),
+            F.sum(
+                F.when(
+                    (F.col("au") == F.col("av")) == (F.col("bu") == F.col("bv")),
+                    1,
+                ).otherwise(0)
+            ).alias("agree"),
+        )
+        .collect()[0]
+    )
+    s = agg["s"] or 0
+    if s == 0:
+        raise ValueError("no valid sampled pairs")
+    return 1.0 - float(agg["agree"] or 0) / float(s)
+
+
+def sampled_graph_structural_rand(
+    graph: GraphDF, a: DataFrame, b: DataFrame, n_samples: int,
+    seed: int = 42,
+) -> float:
+    """SampledGraphStructuralRandMeasure
+    (community/SampledGraphStructuralRandMeasure.cpp): the edge-sampled
+    variant — agreement over n_samples LCG-selected EDGES."""
+    sampled = (
+        graph.E.select("src", "dst")
+        .orderBy(_lcg_key(F.col("src") * 131 + F.col("dst"), seed), "src", "dst")
+        .limit(n_samples)
+    )
+    la = a.select(F.col("id").alias("src"), F.col("label").alias("pa_s"))
+    lb = b.select(F.col("id").alias("src"), F.col("label").alias("pb_s"))
+    la2 = a.select(F.col("id").alias("dst"), F.col("label").alias("pa_d"))
+    lb2 = b.select(F.col("id").alias("dst"), F.col("label").alias("pb_d"))
+    agg = (
+        sampled.join(la, "src").join(lb, "src").join(la2, "dst").join(lb2, "dst")
+        .agg(
+            F.count("*").alias("s"),
+            F.sum(
+                F.when(
+                    (F.col("pa_s") == F.col("pa_d"))
+                    == (F.col("pb_s") == F.col("pb_d")),
+                    1,
+                ).otherwise(0)
+            ).alias("agree"),
+        )
+        .collect()[0]
+    )
+    s = agg["s"] or 0
+    if s == 0:
+        raise ValueError("no sampled edges")
+    return 1.0 - float(agg["agree"] or 0) / float(s)
+
+
+def project_partition_back(
+    fine_to_coarse: DataFrame, coarse_labels: DataFrame
+) -> DataFrame:
+    """ClusteringProjector (coarsening/ClusteringProjector.cpp
+    projectBack): a fine node inherits the label of its supernode —
+    one broadcastable join. fine_to_coarse: (id, super_id); coarse_labels:
+    (id, label) over supernode ids."""
+    sup = coarse_labels.select(
+        F.col("id").alias("super_id"), F.col("label")
+    )
+    return fine_to_coarse.join(sup, "super_id").select("id", "label")
+
+
+def matching_coarsening(
+    graph: GraphDF, matching: DataFrame, no_self_loops: bool = False
+) -> tuple[GraphDF, DataFrame]:
+    """MatchingCoarsening (coarsening/MatchingCoarsening.cpp:16-56):
+    contract each matched pair into one supernode; coarse ids follow the
+    reference's node-scan order = dense rank of the representative
+    (min(v, mate), or v itself when unmatched); coarse edge weight = sum
+    of fine weights over the mapped pair (v ≤ u scan ⇒ each fine edge
+    once); intra-pair edges become self loops unless no_self_loops.
+
+    matching: (src, dst) matched pairs. Returns (coarse GraphDF,
+    fine→coarse mapping (id, super_id))."""
+    from networkit_spark.plans.ranking import dense_rank_of_distinct
+
+    if graph.directed:
+        raise ValueError("only defined for undirected graphs")
+    mates = matching.select(
+        F.col("src").alias("id"), F.least("src", "dst").alias("rep")
+    ).unionByName(
+        matching.select(
+            F.col("dst").alias("id"), F.least("src", "dst").alias("rep")
+        )
+    )
+    reps = graph.V.join(mates, "id", "left").select(
+        "id", F.coalesce("rep", F.col("id")).alias("rep")
+    )
+    ranked = dense_rank_of_distinct(
+        reps.select(F.col("rep").alias("label")), "label", "super_id"
+    )
+    mapping = reps.join(
+        ranked, reps.rep == ranked.label
+    ).select("id", "super_id")
+    m_src = mapping.select(F.col("id").alias("src"), F.col("super_id").alias("cs"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("super_id").alias("cd"))
+    ce = (
+        graph.E.join(m_src, "src")
+        .join(m_dst, "dst")
+        .select(
+            F.least("cs", "cd").alias("src"),
+            F.greatest("cs", "cd").alias("dst"),
+            "weight",
+        )
+    )
+    if no_self_loops:
+        ce = ce.filter(F.col("src") != F.col("dst"))
+    ce = ce.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    cv = mapping.select(F.col("super_id").alias("id")).distinct()
+    return (
+        GraphDF(cv, ce, directed=False, weighted=True),
+        mapping,
+    )

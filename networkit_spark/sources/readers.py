@@ -302,6 +302,24 @@ def read_partition(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_edgelist_partition(
+    spark: SparkSession, path: str, first_node: int = 1, sep: str = " "
+) -> DataFrame:
+    """EdgeListPartitionReader (io/EdgeListPartitionReader.cpp:15-42):
+    lines `<node><sep><subset>`, node ids shifted down by `first_node`,
+    '#' lines skipped. Returns (id, label)."""
+    lines = spark.read.text(path)
+    toks = F.split(F.trim("value"), sep)
+    return (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.trim("value") != "")
+        .select(
+            (toks[0].cast("long") - F.lit(first_node)).alias("id"),
+            toks[1].cast("long").alias("label"),
+        )
+    )
+
+
 def write_partition(partition: DataFrame, path: str) -> None:
     """PartitionWriter: label per line in node-id order."""
     (

@@ -1,257 +1,169 @@
-"""Completeness batch: GeometricMeanScore, AlgebraicDistanceIndex,
-GraphDistance/ReverseBFS, exact NeighborhoodFunction + hop plot,
-Random/Union maximum spanning forests."""
+"""Round-3 completeness batch 2: EdgeCut, CoverHubDominance, sampled Rand
+measures, ClusteringProjector, MatchingCoarsening, BidirectionalDijkstra,
+NeighborhoodFunctionHeuristic, EdgeListPartitionReader."""
 
 import math
-
-import pytest
+import os
 
 from networkit_spark.graph import GraphDF
+from networkit_spark.operators.community import (
+    cover_hub_dominance,
+    edge_cut,
+    graph_structural_rand,
+    matching_coarsening,
+    project_partition_back,
+    sampled_graph_structural_rand,
+    sampled_node_structural_rand,
+)
+from networkit_spark.operators.bfs import (
+    bidirectional_dijkstra,
+    neighborhood_function_exact,
+    neighborhood_function_heuristic,
+    sssp_distances,
+)
+
 from tests.fixtures import KARATE_EDGES, KARATE_N
 
 
-def _adj(edges, n):
-    adj = {u: set() for u in range(n)}
-    for u, v in edges:
-        adj[u].add(v)
-        adj[v].add(u)
-    return adj
-
-
-@pytest.fixture(scope="module")
-def karate(spark):
-    return GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
-
-
-def test_geometric_mean_score(spark, karate):
-    from networkit_spark.operators.sparsification import geometric_mean_score
-    from networkit_spark.operators.triangles import triangle_edge_score
-
-    attr = triangle_edge_score(karate)
-    rows = attr.collect()
-    a = {(r["src"], r["dst"]): r["score"] for r in rows}
-    nsum = {}
-    for (u, v), s in a.items():
-        nsum[u] = nsum.get(u, 0) + s
-        nsum[v] = nsum.get(v, 0) + s
-    got = {
-        (r["src"], r["dst"]): r["score"]
-        for r in geometric_mean_score(karate, attr).collect()
-    }
-    assert set(got) == set(a)
-    for (u, v), s in a.items():
-        want = s / math.sqrt(nsum[u] * nsum[v]) if s > 0 else 0.0
-        assert got[(u, v)] == pytest.approx(want, abs=1e-12), (u, v)
-
-
-def test_algebraic_distance_index(spark, karate):
-    from networkit_spark.operators.linkprediction import (
-        algebraic_distance_index,
-        two_hop_pairs,
-    )
-
-    n1 = algebraic_distance_index(karate, systems=1, iterations=5, norm=1)
-    n2 = algebraic_distance_index(karate, systems=1, iterations=5, norm=2)
-    d1 = {(r["u"], r["v"]): r["score"] for r in n1.collect()}
-    d2 = {(r["u"], r["v"]): r["score"] for r in n2.collect()}
-    # with one test system the 1-norm and 2-norm coincide
-    assert set(d1) == set(d2)
-    for k in d1:
-        assert d1[k] == pytest.approx(d2[k], abs=1e-9)
-    assert len(d1) == two_hop_pairs(karate).count()
-    assert all(v >= 0 for v in d1.values())
-
-
-def test_graph_distance_and_reverse_bfs(spark, karate):
-    from networkit_spark.operators.bfs import graph_distance, reverse_bfs_from
-
-    # unweighted karate: known distances
-    assert graph_distance(karate, 0, 33) == 2.0
-    assert graph_distance(karate, 16, 33) == 4.0
-    # weighted triangle with a shortcut
-    gw = GraphDF.from_edge_list(
-        spark, [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0)], weighted=True
-    )
-    assert graph_distance(gw, 0, 1) == pytest.approx(2.0)
-    # reverse BFS on a directed path 0→1→2
-    gd = GraphDF.from_edge_list(spark, [(0, 1), (1, 2)], directed=True)
-    rd = {r["id"]: r["dist"] for r in reverse_bfs_from(gd, 2).collect()}
-    assert rd[2] == 0 and rd[1] == 1 and rd[0] == 2
-
-
-def test_neighborhood_function_exact(spark, karate):
-    from networkit_spark.operators.bfs import neighborhood_function_exact
-
-    adj = _adj(KARATE_EDGES, KARATE_N)
-    # python oracle: ordered pairs within <= h
-    def bfs(s):
-        dist = {s: 0}
-        fr = [s]
-        d = 0
-        while fr:
-            d += 1
-            nx = []
-            for u in fr:
-                for v in adj[u]:
-                    if v not in dist:
-                        dist[v] = d
-                        nx.append(v)
-            fr = nx
-        return dist
-
-    counts = {}
-    for s in range(KARATE_N):
-        for v, d in bfs(s).items():
-            if d > 0:
-                counts[d] = counts.get(d, 0) + 1
-    want = {}
-    run = 0
-    for h in sorted(counts):
-        run += counts[h]
-        want[h] = run
-    got = {r["h"]: r["count"] for r in neighborhood_function_exact(karate).collect()}
-    assert got == want
-
-
-def test_hop_plot_approx(spark, karate):
-    from networkit_spark.operators.anf import hop_plot_approx
-
-    frac = hop_plot_approx(karate, replicas=16, seed=7)
-    assert frac, "non-empty"
-    assert frac[-1] == pytest.approx(1.0)
-    assert all(
-        frac[i] <= frac[i + 1] + 1e-12 for i in range(len(frac) - 1)
+def _partition(spark, labels):
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(labels)], "id long, label long"
     )
 
 
-def _kruskal_max_py(edges_w, n):
-    parent = list(range(n))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    total = 0.0
-    cnt = 0
-    for (u, v), w in sorted(edges_w.items(), key=lambda kv: -kv[1]):
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[ru] = rv
-            total += w
-            cnt += 1
-    return total, cnt
-
-
-def test_random_maximum_spanning_forest(spark):
-    from networkit_spark.operators.misc import random_maximum_spanning_forest
-
-    edges = [
-        (u, v, 1.0 + ((u * 3 + v * 5) % 7)) for u, v in KARATE_EDGES
-    ]
-    g = GraphDF.from_edge_list(spark, edges, weighted=True, num_nodes=KARATE_N)
-    rows = random_maximum_spanning_forest(g, seed=11).collect()
-    got_total = sum(r["weight"] for r in rows)
-    want_total, want_cnt = _kruskal_max_py(
-        {(u, v): w for u, v, w in edges}, KARATE_N
+def test_edge_cut(spark):
+    # square 0-1-2-3-0 with weights; split {0,1} vs {2,3} cuts 1-2 and 3-0
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 4.0), (0, 3, 8.0)],
+        "src long, dst long, weight double",
     )
-    assert len(rows) == want_cnt
-    assert got_total == pytest.approx(want_total)
+    g = GraphDF(v, e, weighted=True)
+    p = _partition(spark, [0, 0, 1, 1])
+    assert edge_cut(g, p) == 10.0
+    assert edge_cut(g, _partition(spark, [0, 0, 0, 0])) == 0.0
 
 
-def test_union_maximum_spanning_forest(spark):
-    from networkit_spark.operators.misc import union_maximum_spanning_forest
-
-    edges = [(u, v, 1.0 + ((u + v) % 3)) for u, v in KARATE_EDGES]
-    g = GraphDF.from_edge_list(spark, edges, weighted=True, num_nodes=KARATE_N)
-    got = {
-        (r["src"], r["dst"]): r["in_umsf"]
-        for r in union_maximum_spanning_forest(g).collect()
-    }
-    # oracle: edge (u,v,w) in some max-SF iff u,v not connected via
-    # strictly heavier edges
-    ew = {(min(u, v), max(u, v)): w for u, v, w in edges}
-
-    def connected_above(u, v, w):
-        heavier = [(a, b) for (a, b), x in ew.items() if x > w]
-        adj = {}
-        for a, b in heavier:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-        seen, stack = {u}, [u]
-        while stack:
-            x = stack.pop()
-            if x == v:
-                return True
-            for y in adj.get(x, ()):
-                if y not in seen:
-                    seen.add(y)
-                    stack.append(y)
-        return v in seen
-
-    assert set(got) == set(ew)
-    for (u, v), w in ew.items():
-        assert got[(u, v)] == (not connected_above(u, v, w)), (u, v, w)
+def test_cover_hub_dominance(spark):
+    # triangle 0-1-2 plus pendant 3 on 0; overlapping cover:
+    # subset 0 = {0,1,2} (hub deg 2, size 3 -> 1.0)
+    # subset 1 = {0,3}   (internal deg 1, size 2 -> 1.0)
+    # subset 2 = {1,3}   (no internal edge, size 2 -> 0.0)
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (0, 2), (0, 3)], num_nodes=4
+    )
+    cover = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (0, 1), (3, 1), (1, 2), (3, 2)],
+        "id long, subset long",
+    )
+    got = {r["subset"]: r["dominance"]
+           for r in cover_hub_dominance(g, cover).collect()}
+    assert got[0] == 1.0 and got[1] == 1.0 and got[2] == 0.0
 
 
-def test_approximate_pagerank_push(spark, karate):
-    import numpy as np
-
-    from networkit_spark.operators.scd import approximate_pagerank_push
-
-    alpha, eps, seed = 0.15, 1e-4, 0
-    rows = approximate_pagerank_push(karate, seed, alpha=alpha, epsilon=eps).collect()
-    p = np.zeros(KARATE_N)
-    r = np.zeros(KARATE_N)
-    for row in rows:
-        p[row["id"]] = row["p"]
-        r[row["id"]] = row["r"]
-    adj = _adj(KARATE_EDGES, KARATE_N)
-    vol = np.array([len(adj[u]) for u in range(KARATE_N)], dtype=float)
-    # termination guarantee: r(u) < eps * vol(u) everywhere
-    assert (r < eps * vol + 1e-15).all()
-    # exact push invariant: Pi e_seed = p + Pi r, Pi = alpha (I-(1-a)M)^-1,
-    # M[v,u] = (1/2) 1[v=u] + A[u,v] / (2 vol(u))   (the lazy push kernel)
-    M = np.zeros((KARATE_N, KARATE_N))
-    for u in range(KARATE_N):
-        M[u, u] += 0.5
-        for v in adj[u]:
-            M[v, u] += 1.0 / (2.0 * vol[u])
-    Pi = alpha * np.linalg.inv(np.eye(KARATE_N) - (1 - alpha) * M)
-    e0 = np.zeros(KARATE_N)
-    e0[seed] = 1.0
-    lhs = Pi @ e0
-    rhs = p + Pi @ r
-    assert np.allclose(lhs, rhs, atol=1e-10)
-    # p under-approximates the true lazy PPR by at most the residual mass
-    assert (p <= lhs + 1e-12).all()
+def test_sampled_rand_measures_agree_with_exact_on_full_sample(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    a = _partition(spark, [i % 3 for i in range(KARATE_N)])
+    b = _partition(spark, [i % 2 for i in range(KARATE_N)])
+    # graph-structural: sampling >= m edges == the exact measure
+    exact = graph_structural_rand(g, a, b)
+    samp = sampled_graph_structural_rand(g, a, b, n_samples=10_000)
+    assert math.isclose(samp, exact, abs_tol=1e-12)
+    # node-structural: identical partitions -> dissimilarity 0 at any sample
+    assert sampled_node_structural_rand(g, a, a, n_samples=20) == 0.0
+    # and bounded in [0, 1] on different ones
+    d = sampled_node_structural_rand(g, a, b, n_samples=20, seed=7)
+    assert 0.0 <= d <= 1.0
+    # deterministic under the same seed
+    assert d == sampled_node_structural_rand(g, a, b, n_samples=20, seed=7)
 
 
-def test_apsp_karate(spark, karate):
-    from networkit_spark.operators.bfs import apsp
+def test_project_partition_back(spark):
+    f2c = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, super_id long"
+    )
+    coarse = spark.createDataFrame([(0, 7), (1, 9)], "id long, label long")
+    got = {r["id"]: r["label"]
+           for r in project_partition_back(f2c, coarse).collect()}
+    assert got == {0: 7, 1: 7, 2: 9, 3: 9}
 
-    adj = _adj(KARATE_EDGES, KARATE_N)
-    got = {
-        (r["source"], r["id"]): r["dist"] for r in apsp(karate).collect()
-    }
-    # spot-check a source's full row + global pair count
-    def bfs(s):
-        dist = {s: 0}
-        fr = [s]
-        d = 0
-        while fr:
-            d += 1
-            nx = []
-            for u in fr:
-                for v in adj[u]:
-                    if v not in dist:
-                        dist[v] = d
-                        nx.append(v)
-            fr = nx
-        return dist
 
-    assert len(got) == KARATE_N * KARATE_N  # connected: all ordered pairs
-    for s in (0, 16, 33):
-        for v, d in bfs(s).items():
-            assert got[(s, v)] == d, (s, v)
+def test_matching_coarsening(spark):
+    # path 0-1-2-3 (weights 1,2,3), matching {(0,1),(2,3)}
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0)],
+        "src long, dst long, weight double",
+    )
+    g = GraphDF(v, e, weighted=True)
+    m = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    cg, mapping = matching_coarsening(g, m)
+    mp = {r["id"]: r["super_id"] for r in mapping.collect()}
+    assert mp[0] == mp[1] and mp[2] == mp[3] and mp[0] != mp[2]
+    ce = {(r["src"], r["dst"]): r["weight"] for r in cg.E.collect()}
+    a, b = mp[0], mp[2]
+    # intra-pair edges fold to self loops; 1-2 becomes the inter edge
+    assert ce[(a, a)] == 1.0 and ce[(b, b)] == 3.0
+    assert ce[(min(a, b), max(a, b))] == 2.0
+    cg2, _ = matching_coarsening(g, m, no_self_loops=True)
+    assert cg2.E.count() == 1
+
+
+def test_bidirectional_dijkstra(spark):
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (0, 4, 3.5)],
+        "src long, dst long, weight double",
+    )
+    g = GraphDF(v, e, weighted=True)
+    assert bidirectional_dijkstra(g, 0, 4) == 3.5
+    assert bidirectional_dijkstra(g, 0, 3) == 3.0
+    assert bidirectional_dijkstra(g, 2, 2) == 0.0
+    # parity with the full SSSP on karate with seeded weights
+    kw = [(u, v, 1.0 + ((u * 7 + v) % 5)) for u, v in KARATE_EDGES]
+    vk = spark.createDataFrame([(i,) for i in range(KARATE_N)], "id long")
+    gk = GraphDF(
+        vk,
+        spark.createDataFrame(kw, "src long, dst long, weight double"),
+        weighted=True,
+    )
+    want = {r["id"]: r["dist"] for r in sssp_distances(gk, 0).collect()}
+    for t in (5, 16, 26, 33):
+        assert math.isclose(bidirectional_dijkstra(gk, 0, t), want[t],
+                            abs_tol=1e-9)
+    # unreachable
+    g2 = GraphDF.from_edge_list(spark, [(0, 1)], num_nodes=4)
+    assert bidirectional_dijkstra(g2, 0, 3) is None
+
+
+def test_neighborhood_function_heuristic(spark):
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    # full sample == exact NF at every h
+    exact = {r["h"]: r["count"]
+             for r in neighborhood_function_exact(g).collect()}
+    got = {r["h"]: r["count"]
+           for r in neighborhood_function_heuristic(
+               g, n_samples=KARATE_N).collect()}
+    assert got == exact
+    # sampled: monotone, pinned endpoints
+    got8 = [(r["h"], r["count"])
+            for r in neighborhood_function_heuristic(
+                g, n_samples=8, seed=3).orderBy("h").collect()]
+    assert got8[0][1] == 2 * len(KARATE_EDGES)
+    assert got8[-1][1] == KARATE_N * (KARATE_N - 1)
+    # monotone over the scaled interior; the reference pins the final
+    # value to exact n(n-1) AFTER scaling, so the last step may dip
+    # (NeighborhoodFunctionHeuristic.cpp:75-80 has the same artifact)
+    interior = got8[:-1]
+    assert all(b[1] >= a[1] for a, b in zip(interior, interior[1:]))
+
+
+def test_read_edgelist_partition(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "part.txt")
+    with open(p, "w") as f:
+        f.write("# comment\n1 10\n2 10\n3 20\n")
+    from networkit_spark.sources.readers import read_edgelist_partition
+
+    got = {r["id"]: r["label"]
+           for r in read_edgelist_partition(spark, p, first_node=1).collect()}
+    assert got == {0: 10, 1: 10, 2: 20}

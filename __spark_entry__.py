@@ -75,6 +75,9 @@ DIFF_OFFSET = 10_000_000  # added edges target dst+OFFSET (fresh node ids)
 DYNBFS_HOLD_MOD = 9      # dyn-bfs: (src*31+dst)%9==0 edges held out, re-added
 DYNBFS_SOURCES = [1, 2, 3]
 DYNBFS_MAXD = 12         # oracle recursion bound ≥ full-graph eccentricity
+RAND_N_SAMPLES = 200     # sampled node-structural rand pairs
+RAND_E_SAMPLES = 500     # sampled graph-structural rand edges
+RAND_SEED = 11
 
 
 # ===================================================================== Spark
@@ -534,6 +537,31 @@ def q_partition_measures_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(nmi, 6), round(ar, 6), round(gsr, 6))],
         "nmi double, adj_rand double, structural_rand double",
+    )
+
+
+def q_rand_edgecut_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EdgeCut + the two SAMPLED rand measures
+    (community/EdgeCut.cpp, Sampled{Node,Graph}StructuralRandMeasure.cpp)
+    between two deterministic id-function partitions of the
+    customer→supplier graph — LCG sampling, so the DuckDB twin replays the
+    exact sample."""
+    from networkit_spark.operators.community import (
+        edge_cut,
+        sampled_graph_structural_rand,
+        sampled_node_structural_rand,
+    )
+
+    tune_for_iteration(spark)
+    g = tg.customer_supplier_graph(spark, sf_dir)
+    pa = g.V.select("id", (F.col("id") % 7).alias("label"))
+    pb = g.V.select("id", ((F.col("id") * 31 + 7) % 5).alias("label"))
+    cut = edge_cut(g, pa)
+    snr = sampled_node_structural_rand(g, pa, pb, RAND_N_SAMPLES, RAND_SEED)
+    sgr = sampled_graph_structural_rand(g, pa, pb, RAND_E_SAMPLES, RAND_SEED)
+    return spark.createDataFrame(
+        [(round(cut, 6), round(snr, 6), round(sgr, 6))],
+        "edge_cut double, sampled_node_rand double, sampled_graph_rand double",
     )
 
 
@@ -1044,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_transcripts_conv": q_triangles_transcripts_conv,
         "events_sessions": q_events_sessions,
         "windowed_events": q_windowed_events,
+        "rand_edgecut_cs": q_rand_edgecut_cs,
         "quality_documents": q_quality_documents,
         "language_id_documents": q_language_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -2538,6 +2567,48 @@ SELECT src, dst, weight FROM edges ORDER BY src, dst
         "triangles_transcripts_conv": _triangles_sql(
             _conv_edges_cte(N_CONVS).strip()
         ),
+        "rand_edgecut_cs": f"""
+WITH {tg.CS_EDGES_CTE.strip()},
+v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+pa AS (SELECT id, id % 7 AS la FROM v),
+pb AS (SELECT id, (id * 31 + 7) % 5 AS lb FROM v),
+cut AS (SELECT COALESCE(SUM(e.weight), 0.0) AS c FROM edges e
+        JOIN pa a ON e.src = a.id JOIN pa b ON e.dst = b.id
+        WHERE a.la <> b.la),
+us AS (SELECT id AS u,
+       ROW_NUMBER() OVER (ORDER BY
+         ((id + {RAND_SEED}) * 1103515245 + 12345) % 2147483648, id) - 1 AS i
+       FROM v),
+vs AS (SELECT id AS v2,
+       ROW_NUMBER() OVER (ORDER BY
+         ((id + {RAND_SEED + 1}) * 1103515245 + 12345) % 2147483648, id) - 1 AS i
+       FROM v),
+pairs AS (SELECT u, v2 FROM us JOIN vs USING (i)
+          WHERE i < {RAND_N_SAMPLES} AND u <> v2),
+snr AS (SELECT COUNT(*) AS s,
+        SUM(CASE WHEN (au.la = av.la) = (bu.lb = bv.lb)
+                 THEN 1 ELSE 0 END) AS agree
+        FROM pairs
+        JOIN pa au ON au.id = pairs.u JOIN pa av ON av.id = pairs.v2
+        JOIN pb bu ON bu.id = pairs.u JOIN pb bv ON bv.id = pairs.v2),
+se AS (SELECT src, dst FROM edges
+       ORDER BY ((src * 131 + dst + {RAND_SEED}) * 1103515245 + 12345)
+                % 2147483648, src, dst
+       LIMIT {RAND_E_SAMPLES}),
+sgr AS (SELECT COUNT(*) AS s,
+        SUM(CASE WHEN (au.la = av.la) = (bu.lb = bv.lb)
+                 THEN 1 ELSE 0 END) AS agree
+        FROM se
+        JOIN pa au ON au.id = se.src JOIN pa av ON av.id = se.dst
+        JOIN pb bu ON bu.id = se.src JOIN pb bv ON bv.id = se.dst)
+SELECT CAST(ROUND((SELECT c FROM cut), 6) AS DOUBLE) AS edge_cut,
+       CAST(ROUND(1.0 - CAST((SELECT agree FROM snr) AS DOUBLE)
+                  / CAST((SELECT s FROM snr) AS DOUBLE), 6) AS DOUBLE)
+         AS sampled_node_rand,
+       CAST(ROUND(1.0 - CAST((SELECT agree FROM sgr) AS DOUBLE)
+                  / CAST((SELECT s FROM sgr) AS DOUBLE), 6) AS DOUBLE)
+         AS sampled_graph_rand
+""",
         "windowed_events": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start,
        event_type,

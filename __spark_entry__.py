@@ -740,6 +740,36 @@ def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_survivors_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end near-dup SURVIVOR selection: exact n-gram-jaccard
+    candidate pairs → connected components over the similarity graph
+    (transitive drop-all-but-one policy) → min-id survivor per component.
+    The pipeline step after candidate generation; fully SQL-mirrorable."""
+    from networkit_spark.functions.dedup import (
+        near_dup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    tune_for_iteration(spark)
+    docs = tg.load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=NGRAM_THRESHOLD)
+    out = near_dup_survivors(pairs, docs.select("doc_id"))
+    return out.select(
+        "id", "survivor", F.col("is_survivor").cast("long").alias("is_survivor")
+    ).orderBy("id")
+
+
+def q_trigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram corpus-LM fluency score (the cheap perplexity proxy for
+    quality filtering) — functions/text.py trigram_logprob_score."""
+    from networkit_spark.functions.text import trigram_logprob_score
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return trigram_logprob_score(docs).orderBy("id")
+
+
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates — xxhash64-based, so no SQL oracle
     (rows-only check); exactness is covered by pytest vs the exact
@@ -1076,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_documents": q_quality_documents,
         "language_id_documents": q_language_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "near_dup_survivors_documents": q_near_dup_survivors_documents,
+        "trigram_score_documents": q_trigram_score_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "knn_lsh_embeddings": q_knn_lsh_embeddings,
@@ -2683,6 +2715,64 @@ scored AS (
 )
 SELECT id_a, id_b, jaccard FROM scored
 WHERE jaccard >= {NGRAM_THRESHOLD} ORDER BY id_a, id_b
+""",
+        "near_dup_survivors_documents": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+    unnest(list_transform(range(0, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM toks
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id
+  WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= {NGRAM_THRESHOLD}
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM prs
+        UNION SELECT id_b, id_a FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.a, s.b FROM reach JOIN sym s ON s.a = reach.b
+  WHERE reach.a <> s.b
+),
+comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS survivor FROM reach GROUP BY a)
+SELECT d.doc_id AS id,
+       COALESCE(comp.survivor, d.doc_id) AS survivor,
+       CAST(CASE WHEN COALESCE(comp.survivor, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+ORDER BY id
+""",
+        "trigram_score_documents": """
+WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id AS id,
+    unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+           i -> substr(t, CAST(i AS BIGINT), 3))) AS g
+  FROM low
+),
+counts AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+tots AS (SELECT SUM(c) AS tot, COUNT(*) AS vocab FROM counts),
+sc AS (
+  SELECT id, AVG(ln((c + 1.0) / (tot + 1.0 * vocab))) AS score
+  FROM grams JOIN counts USING (g) CROSS JOIN tots
+  GROUP BY id
+)
+SELECT d.doc_id AS id,
+       CAST(ROUND(COALESCE(sc.score, 0.0), 6) AS DOUBLE) AS score
+FROM documents d LEFT JOIN sc ON sc.id = d.doc_id
+ORDER BY id
 """,
         "roc_transcripts_conv": f"""
 WITH {_conv_edges_cte(N_CONVS).strip()},

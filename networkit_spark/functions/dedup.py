@@ -258,3 +258,41 @@ def embedding_cosine_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def near_dup_survivors(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, survivor, is_survivor): near-duplicate SURVIVOR selection — the
+    step a training-data pipeline runs after candidate generation. Treat
+    the near-dup pairs (id_a, id_b) as edges of a similarity graph, take
+    connected components (hash-min + pointer jumping — transitive closure,
+    the standard conservative policy: a~b, b~c ⇒ drop-all-but-one of
+    {a,b,c}), and keep the minimum id of each component. Docs in no pair
+    survive trivially.
+
+    pairs: (id_a, id_b) near-dup candidates (any generator: exact jaccard,
+    MinHash bucket pairs, embedding cosine). all_ids: (id) every doc."""
+    from networkit_spark.operators.components import _hash_min_fixpoint
+
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    touched = (
+        sym.select(F.col("src").alias("id")).distinct()
+    )
+    labels = _hash_min_fixpoint(sym, touched, max_iterations)
+    out = all_ids.select(F.col(all_ids.columns[0]).alias("id")).join(
+        labels.select("id", F.col("label").alias("survivor")), "id", "left"
+    ).select(
+        "id",
+        F.coalesce("survivor", F.col("id")).alias("survivor"),
+    )
+    return out.withColumn("is_survivor", F.col("id") == F.col("survivor"))

@@ -111,3 +111,54 @@ def fingerprint(
     (lower, collapsed whitespace) — the exact-dedup key at scale."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select(F.col(id_col), F.xxhash64(norm).alias("fp"))
+
+
+def trigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, score): corpus-self-trained character-trigram fluency score —
+    the cheap perplexity proxy training-data pipelines use for quality
+    filtering (boilerplate/garbled text scores low against the corpus LM).
+    score(d) = mean over d's trigrams of ln P(trigram), with
+    P = (count + smoothing) / (total + smoothing·vocab) estimated on the
+    WHOLE input (add-one smoothed unigram-of-trigrams model — deterministic,
+    join-only, no training loop). Pure column program: explode trigrams,
+    one global count table, one broadcastable join back."""
+    t = F.lower(F.col(text_col))
+    n = F.length(t) - 2
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                # sequence(1, 0) DESCENDS in Spark — guard short texts with
+                # an explicitly empty array
+                F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("tot"), F.count("*").alias("vocab")
+    )
+    scored = (
+        grams.join(counts, "g")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.avg(
+                F.log(
+                    (F.col("c") + F.lit(smoothing))
+                    / (F.col("tot") + F.lit(smoothing) * F.col("vocab"))
+                )
+            ).alias("score")
+        )
+    )
+    return df.select(F.col(id_col).alias("id")).join(
+        scored, "id", "left"
+    ).select("id", F.round(F.coalesce("score", F.lit(0.0)), 6).alias("score"))

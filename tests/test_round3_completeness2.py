@@ -167,3 +167,44 @@ def test_read_edgelist_partition(spark, tmp_path):
     got = {r["id"]: r["label"]
            for r in read_edgelist_partition(spark, p, first_node=1).collect()}
     assert got == {0: 10, 1: 10, 2: 20}
+
+
+def test_near_dup_survivors(spark):
+    from networkit_spark.functions.dedup import near_dup_survivors
+
+    # pairs chain 1~2, 2~3 (transitive) and isolated pair 5~9; 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 9)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long"
+    )
+    got = {r["id"]: (r["survivor"], r["is_survivor"])
+           for r in near_dup_survivors(pairs, ids).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 9: (5, False), 7: (7, True),
+    }
+
+
+def test_trigram_logprob_score(spark):
+    import math as _math
+
+    from networkit_spark.functions.text import trigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["id"]: r["score"]
+           for r in trigram_logprob_score(df).collect()}
+    # corpus trigrams: "aaa"×2 (from aaaa), "abc", "bcd" — tot 4, vocab 3
+    tot, vocab = 4, 3
+    p_aa = (2 + 1) / (tot + vocab)
+    exp1 = round(_math.log(p_aa), 6)
+    p_1 = (1 + 1) / (tot + vocab)
+    exp2 = round(_math.log(p_1), 6)
+    assert _math.isclose(got[1], exp1, abs_tol=1e-6)
+    assert _math.isclose(got[2], exp2, abs_tol=1e-6)
+    assert got[3] == 0.0  # too short for a trigram
+    # repetitive text scores higher than diverse text under the corpus LM
+    assert got[1] > got[2]

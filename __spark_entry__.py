@@ -48,6 +48,9 @@ AC_SEED = 7
 TOPH_K = 10              # top-harmonic-closeness k
 SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
+STRATA_K = 20  # stratified sample quota per language
+SAMPLE_SEED = 77
+SHARD_TOKENS = 2000  # token budget per training shard
 LSH_PLANES = 4
 LSH_SEED = 42
 IVF_CELLS = 16
@@ -770,6 +773,33 @@ def q_trigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob_score(docs).orderBy("id")
 
 
+def q_stratified_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-language quota sample (k smallest LCG priorities per
+    stratum) via the skew-safe two-stage salted top-k —
+    functions/sampling.py stratified_quota_sample."""
+    from networkit_spark.functions.sampling import stratified_quota_sample
+
+    docs = tg.load(spark, sf_dir, "documents")
+    out = stratified_quota_sample(
+        docs, ["lang"], k=STRATA_K, seed=SAMPLE_SEED
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), "lang"
+    ).orderBy("id")
+
+
+def q_shard_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget training-shard assignment: exclusive running
+    token sum in id order / budget, via the two-stage scale-safe prefix
+    sum — functions/sampling.py pack_shards."""
+    from networkit_spark.functions.sampling import pack_shards
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return pack_shards(docs, SHARD_TOKENS).orderBy("id")
+
+
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates — xxhash64-based, so no SQL oracle
     (rows-only check); exactness is covered by pytest vs the exact
@@ -1107,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": q_language_id_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "near_dup_survivors_documents": q_near_dup_survivors_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "shard_pack_documents": q_shard_pack_documents,
         "trigram_score_documents": q_trigram_score_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
@@ -2753,6 +2785,29 @@ SELECT d.doc_id AS id,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
 FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
 ORDER BY id
+""",
+        "stratified_sample_documents": f"""
+SELECT CAST(doc_id AS BIGINT) AS id, lang
+FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY ((doc_id + {SAMPLE_SEED}) % 2147483648 * 1103515245 + 12345)
+               % 2147483648, doc_id) AS r
+  FROM documents
+) WHERE r <= {STRATA_K} ORDER BY id
+""",
+        "shard_pack_documents": f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS id, n_tokens,
+  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       / {SHARD_TOKENS}.0) AS BIGINT) AS shard
+FROM toks ORDER BY id
 """,
         "trigram_score_documents": """
 WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),

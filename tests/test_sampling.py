@@ -50,6 +50,25 @@ def test_stratified_quota_small_stratum(spark):
     assert len(out) == 3
 
 
+def test_sampling_plans_no_single_partition(spark):
+    """Scale gate: neither op may plan a SinglePartition exchange —
+    stratified sampling windows are salted; shard packing uses the
+    two-stage prefix sum."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.lit("a b c d").alias("text"),
+    )
+    strat = stratified_quota_sample(df, ["lang"], k=3)
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    packed = pack_shards(df, shard_tokens=100)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_pack_shards(spark):
     texts = [(0, "a b c"), (1, "d e"), (2, "f g h i"), (3, "j"), (4, "k l")]
     df = spark.createDataFrame(texts, "doc_id long, text string")

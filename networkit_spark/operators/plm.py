@@ -18,7 +18,7 @@ level sizes shrink geometrically — the same economics as the reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import GraphDF
@@ -103,10 +103,20 @@ def _move_phase(
                 / F.lit(2.0 * total_w * total_w)
             ).alias("gain"),
         )
-        w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("cand"))
+        # best move per node — max gain, min cand tie-break — as ONE
+        # map-side-combinable aggregation (min over (-gain, cand) structs)
+        # instead of a window: same exchange, no sort stage
         winner = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
+            scored.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("gain")).alias("ng"), F.col("cand").alias("cand")
+                    )
+                ).alias("top")
+            )
+            .select("id", F.col("top.cand").alias("cand"),
+                    (-F.col("top.ng")).alias("gain"))
             .filter(F.col("gain") > 1e-12)  # strict improvement only
             # synchronous-move conflict breaker: adjacent nodes moving into
             # each other's communities simultaneously oscillate (the classic

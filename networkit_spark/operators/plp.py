@@ -19,7 +19,8 @@ reproducible and SQL-oracle-checkable.
 Spark shape per sweep:
     cand   = E_sym ⋈ labels on src → (dst, label, weight)
     scores = cand.groupBy(dst, label).agg(sum(weight))
-    winner = row_number over (partition by dst order by w desc, label asc) = 1
+    winner = min (-w, label) struct per dst — max weight, min label, as one
+             map-side-combinable aggregation (no window sort stage)
     labels'= V left⋈ winner (isolated nodes keep their singleton label)
 The frontier optimization (only recompute nodes with a changed neighbor)
 is work-skipping only — synchronous results are identical with or without
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import GraphDF
@@ -91,11 +92,20 @@ def plp(
             "dst", "label", "weight"
         )
         scores = cand.groupBy("dst", "label").agg(F.sum("weight").alias("w"))
-        w = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+        # winner = max weight, min label tie-break — as ONE aggregation:
+        # min over lexicographic (-w, label) structs. Same exchange count
+        # as a window but no per-partition sort stage, and the (dst,label)
+        # → (dst) agg is map-side combinable.
         winner = (
-            scores.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+            scores.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("w")).alias("nw"), F.col("label").alias("label")
+                    )
+                ).alias("top")
+            )
+            .select(F.col("dst").alias("id"), F.col("top.label").alias("new_label"))
         )
         # one joined frame carries the new label AND the changed flag — a
         # single action materializes both
@@ -209,11 +219,20 @@ def lp_degree_ordered(
                 "dst", "label", "weight"
             )
             scores = cand.groupBy("dst", "label").agg(F.sum("weight").alias("w"))
-            w = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
             winner = (
-                scores.withColumn("rn", F.row_number().over(w))
-                .filter("rn = 1")
-                .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+                scores.groupBy("dst")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("w")).alias("nw"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("top")
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    F.col("top.label").alias("new_label"),
+                )
                 .join(active, "id", "left_semi")
             )
             labels = (

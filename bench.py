@@ -80,7 +80,10 @@ def main():
     m_cs = g_cs.number_of_edges()
     if want("pagerank_cs"):
         t0 = time.time()
-        pagerank_fixed(g_cs, iterations=pr_iters).count()
+        # truncate_every=2 fuses superstep pairs into one job — results are
+        # bit-identical (test_pagerank_truncate_cadence_bit_identical);
+        # halves the per-superstep job-launch + checkpoint-write fixed cost
+        pagerank_fixed(g_cs, iterations=pr_iters, truncate_every=2).count()
         dt = time.time() - t0
         timings["pagerank_cs"] = round(dt, 3)
         throughput["pagerank_cs"] = {

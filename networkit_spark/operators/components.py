@@ -41,8 +41,21 @@ def _hash_min_fixpoint(
     max_iterations: int = 200,
     pointer_jump: bool = True,
     checkpointer=None,
+    check_every: int = 1,
 ) -> DataFrame:
-    """Fixpoint labels (id, label) with label = min node id of the component."""
+    """Fixpoint labels (id, label) with label = min node id of the component.
+
+    `check_every`: fuse this many supersteps into one materialization —
+    intermediate sweeps cache lazily (zero jobs launched); the block-end
+    convergence count executes the whole block as ONE job, with the
+    intermediate references hitting the block cache. Labels are monotone
+    non-increasing, so "no change across the block" ⟺ fixpoint — the
+    convergence test is cadence-invariant and final labels bit-identical
+    (worst case k-1 no-op sweeps inside the final block). Forced to 1 when
+    a checkpointer is attached (per-superstep metrics need per-superstep
+    actions)."""
+    if checkpointer is not None:
+        check_every = 1
     labels = vertices.select("id", F.col("id").alias("label"))
     start = 0
     if checkpointer is not None:
@@ -50,6 +63,8 @@ def _hash_min_fixpoint(
         if resumed is not None:
             start, labels = resumed["superstep"] + 1, resumed["dfs"]["labels"]
     labels = labels.localCheckpoint(eager=True)
+    block_start = labels
+    interm: list[DataFrame] = []
     e = (
         edges_sym.select("src", "dst")
         .filter("src != dst")
@@ -87,10 +102,24 @@ def _hash_min_fixpoint(
                     F.coalesce("p_label", "label").alias("label"),
                 )
             )
+        block_end = (
+            check_every <= 1
+            or (it - start) % check_every == check_every - 1
+            or it >= max_iterations - 1
+        )
+        if not block_end:
+            # fused superstep: lazy cache only — no job launched here; the
+            # block-end count below materializes the whole block at once
+            new_labels = new_labels.persist()
+            interm.append(new_labels)
+            labels = new_labels
+            continue
         new_labels = new_labels.persist()
+        # compare against the BLOCK START (checkpointed — fresh lineage, no
+        # self-join attribute conflict): changes across the whole block
         n_updated = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(block_start.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
@@ -106,7 +135,11 @@ def _hash_min_fixpoint(
             )["labels"]
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
+        for df in interm:
+            df.unpersist()
+        interm = []
         labels = new_labels
+        block_start = new_labels
         if n_updated == 0:
             break
     e.unpersist()
@@ -127,7 +160,8 @@ def renumber_dense_by_min_id(labels: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    graph: GraphDF, max_iterations: int = 200, checkpointer=None
+    graph: GraphDF, max_iterations: int = 200, checkpointer=None,
+    check_every: int = 1,
 ) -> DataFrame:
     """(id: long, component: long) — exact reference component ids.
 
@@ -141,18 +175,21 @@ def connected_components(
             "ConnectedComponents.cpp:21-24)"
         )
     labels = _hash_min_fixpoint(
-        graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer
+        graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
+        check_every=check_every,
     )
     return renumber_dense_by_min_id(labels)
 
 
 def weakly_connected_components(
-    graph: GraphDF, max_iterations: int = 200, checkpointer=None
+    graph: GraphDF, max_iterations: int = 200, checkpointer=None,
+    check_every: int = 1,
 ) -> DataFrame:
     """WeaklyConnectedComponents.cpp:32 — hash-min over the symmetrized view
     of a directed edge table."""
     labels = _hash_min_fixpoint(
-        graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer
+        graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
+        check_every=check_every,
     )
     return renumber_dense_by_min_id(labels)
 

@@ -44,6 +44,7 @@ def plp(
     checkpointer=None,
     use_frontier: bool = True,
     broadcast_frontier_threshold: int = 1_000_000,
+    truncate_every: int = 1,
 ) -> DataFrame:
     """Returns (id: long, label: long).
 
@@ -51,6 +52,15 @@ def plp(
     last sweep) and recompute only those — the PLP.cpp:91-99 reactivation
     rule. When the frontier is small it is broadcast into the edge join
     (north rule: broadcast of high-degree frontier deltas).
+
+    `truncate_every`: fixed-sweep mode only (no convergence count needed) —
+    fuse this many sweeps into one materialization. Intermediate sweeps
+    cache lazily (zero jobs launched); the block-end localCheckpoint runs
+    the whole block as ONE job, both references to an intermediate label
+    vector hitting its block cache. Labels are bit-identical (same sweeps,
+    different job boundaries — asserted in tests). Whenever a sweep needs
+    its update count (threshold/frontier/checkpointer), cadence is forced
+    to 1 for that sweep.
     """
     n = graph.number_of_nodes()
     if update_threshold is None:
@@ -71,6 +81,7 @@ def plp(
     labels = labels.localCheckpoint(eager=True)
 
     frontier = None  # None = all nodes active
+    interm: list[DataFrame] = []
     it = start
     while it < max_it:
         t0 = time.time()
@@ -128,6 +139,12 @@ def plp(
             )
         new_labels = joined.select("id", F.col("new").alias("label"))
 
+        block_end = (
+            need_count
+            or truncate_every <= 1
+            or (it - start) % truncate_every == truncate_every - 1
+            or it >= max_it - 1
+        )
         if checkpointer is not None:
             new_labels = checkpointer.save(
                 it,
@@ -138,8 +155,16 @@ def plp(
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )["labels"]
-        else:
+        elif block_end:
             new_labels = new_labels.localCheckpoint(eager=True)
+            for df in interm:
+                df.unpersist()
+            interm = []
+        else:
+            # fused sweep: lazy cache only — the block-end checkpoint
+            # materializes the whole block in one job
+            new_labels = new_labels.persist()
+            interm.append(new_labels)
 
         if use_frontier:
             # reactivation (PLP.cpp:91-99): neighbors of changed nodes
@@ -163,7 +188,9 @@ def plp(
     return labels
 
 
-def plp_fixed(graph: GraphDF, iterations: int) -> DataFrame:
+def plp_fixed(
+    graph: GraphDF, iterations: int, truncate_every: int = 1
+) -> DataFrame:
     """Exactly `iterations` synchronous sweeps, full recompute — the
     SQL-oracle-parity variant (DuckDB unrolls the same sweeps)."""
     return plp(
@@ -171,6 +198,7 @@ def plp_fixed(graph: GraphDF, iterations: int) -> DataFrame:
         update_threshold=-1,
         max_iterations=iterations,
         use_frontier=False,
+        truncate_every=truncate_every,
     )
 
 

@@ -171,3 +171,17 @@ def test_scc_requires_directed(spark):
     g = GraphDF.from_edge_list(spark, [(0, 1)], num_nodes=2)
     with pytest.raises(ValueError):
         strongly_connected_components(g)
+
+
+def test_wcc_check_cadence_bit_identical(spark):
+    # fused supersteps (check_every > 1) change job boundaries and the
+    # convergence-count cadence only — component ids must be bit-identical
+    edges = powerlaw_directed_edges(n=150, m=700)
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=True)
+    base = _labels(weakly_connected_components(g))
+    fused2 = _labels(weakly_connected_components(g, check_every=2))
+    fused3 = _labels(weakly_connected_components(g, check_every=3))
+    assert base == fused2 == fused3

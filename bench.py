@@ -95,7 +95,10 @@ def main():
     # ---- weakly connected components to fixpoint
     if want("wcc_cs"):
         t0 = time.time()
-        weakly_connected_components(g_cs).count()
+        # fused convergence-check cadence (see components.py check_every) —
+        # bit-identical labels, fewer jobs; BENCH_WCC_CHECK_EVERY overrides
+        wcc_ce = int(os.environ.get("BENCH_WCC_CHECK_EVERY", "2"))
+        weakly_connected_components(g_cs, check_every=wcc_ce).count()
         dt = time.time() - t0
         timings["wcc_cs"] = round(dt, 3)
         throughput["wcc_cs"] = {"edges": m_cs, "edges_per_sec": round(m_cs / dt, 1)}
@@ -105,7 +108,8 @@ def main():
     if want("plp_co"):
         m_co = g_co.number_of_edges()
         t0 = time.time()
-        plp_fixed(g_co, iterations=4).count()
+        plp_te = int(os.environ.get("BENCH_PLP_TRUNCATE_EVERY", "2"))
+        plp_fixed(g_co, iterations=4, truncate_every=plp_te).count()
         dt = time.time() - t0
         timings["plp_co"] = round(dt, 3)
         throughput["plp_co"] = {
@@ -135,12 +139,14 @@ def main():
 
     if want("kcore_hindex_co"):
         t0 = time.time()
-        core_decomposition_hindex(g_co).count()
+        kc_ce = int(os.environ.get("BENCH_KCORE_CHECK_EVERY", "2"))
+        core_decomposition_hindex(g_co, check_every=kc_ce).count()
         timings["kcore_hindex_co"] = round(time.time() - t0, 3)
 
     if want("scc_cs"):
         t0 = time.time()
-        strongly_connected_components(g_cs).count()
+        scc_ce = int(os.environ.get("BENCH_SCC_CHECK_EVERY", "2"))
+        strongly_connected_components(g_cs, check_every=scc_ce).count()
         timings["scc_cs"] = round(time.time() - t0, 3)
 
     # sampled betweenness on the (shallow-diameter) undirected cs graph —

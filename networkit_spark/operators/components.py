@@ -47,12 +47,12 @@ def _hash_min_fixpoint(
 
     `check_every`: fuse this many supersteps into one materialization —
     intermediate sweeps cache lazily (zero jobs launched); the block-end
-    convergence count executes the whole block as ONE job, with the
-    intermediate references hitting the block cache. Labels are monotone
-    non-increasing, so "no change across the block" ⟺ fixpoint — the
-    convergence test is cadence-invariant and final labels bit-identical
-    (worst case k-1 no-op sweeps inside the final block). Forced to 1 when
-    a checkpointer is attached (per-superstep metrics need per-superstep
+    checkpoint executes the whole block as ONE job, with the intermediate
+    references hitting the block cache. The convergence test ("the LAST
+    sweep changed nothing" — read off the carried `old` column, no compare
+    join) is cadence-invariant, so final labels are bit-identical (worst
+    case k-1 no-op sweeps inside the final block). Forced to 1 when a
+    checkpointer is attached (per-superstep metrics need per-superstep
     actions)."""
     if checkpointer is not None:
         check_every = 1
@@ -63,7 +63,6 @@ def _hash_min_fixpoint(
         if resumed is not None:
             start, labels = resumed["superstep"] + 1, resumed["dfs"]["labels"]
     labels = labels.localCheckpoint(eager=True)
-    block_start = labels
     interm: list[DataFrame] = []
     e = (
         edges_sym.select("src", "dst")
@@ -80,6 +79,9 @@ def _hash_min_fixpoint(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the pre-sweep label through as `old`: the convergence count
+        # is then a cheap scan of the materialized rows — no extra
+        # |V|⋈|V| compare join per sweep
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.dst, "left")
             .select(
@@ -87,6 +89,7 @@ def _hash_min_fixpoint(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("old"),
             )
         )
         if pointer_jump:
@@ -100,6 +103,7 @@ def _hash_min_fixpoint(
                 .select(
                     "id",
                     F.coalesce("p_label", "label").alias("label"),
+                    "old",
                 )
             )
         block_end = (
@@ -109,37 +113,37 @@ def _hash_min_fixpoint(
         )
         if not block_end:
             # fused superstep: lazy cache only — no job launched here; the
-            # block-end count below materializes the whole block at once
+            # block-end materialization runs the whole block at once
             new_labels = new_labels.persist()
             interm.append(new_labels)
-            labels = new_labels
+            labels = new_labels.select("id", "label")
             continue
-        new_labels = new_labels.persist()
-        # compare against the BLOCK START (checkpointed — fresh lineage, no
-        # self-join attribute conflict): changes across the whole block
-        n_updated = (
-            new_labels.alias("n")
-            .join(block_start.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # convergence test = "the LAST sweep changed nothing": a sweep is a
+        # deterministic function, so no-change ⟹ fixpoint — valid at any
+        # cadence, and the returned labels are cadence-invariant.
+        # persist FIRST, count from cache, checkpoint from cache (see
+        # _struct_max_fixpoint — direct eager checkpoints on multi-consumer
+        # iterative pipelines re-execute geometrically).
+        cached = new_labels.persist()
+        n_updated = cached.filter(F.col("label") != F.col("old")).count()
         if checkpointer is not None:
             new_labels = checkpointer.save(
                 it,
-                {"labels": new_labels.select("id", "label")},
+                {"labels": cached.select("id", "label")},
                 metrics={
                     "n_updated": n_updated,
                     "delta_norm": float(n_updated),
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )["labels"]
+            labels = new_labels
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = cached.localCheckpoint(eager=True)
+            labels = new_labels.select("id", "label")
+        cached.unpersist()
         for df in interm:
             df.unpersist()
         interm = []
-        labels = new_labels
-        block_start = new_labels
         if n_updated == 0:
             break
     e.unpersist()
@@ -194,8 +198,83 @@ def weakly_connected_components(
     return renumber_dense_by_min_id(labels)
 
 
+def _struct_max_fixpoint(
+    edges: DataFrame,
+    init_color: DataFrame,
+    max_inner: int,
+    check_every: int = 1,
+) -> DataFrame:
+    """Shared SCC inner loop: struct-max reachability coloring over `edges`
+    with pointer jumping via the carrier node. `init_color` is (id, c)
+    checkpointed; returns the fixpoint (id, c).
+
+    `check_every` fuses supersteps per materialization exactly like
+    `_hash_min_fixpoint`: colors are monotone non-decreasing struct maxes,
+    so the blocked convergence test (compare vs block start) is equivalent
+    and the fixpoint bit-identical at any cadence."""
+    color = init_color
+    interm: list[DataFrame] = []
+    for it in range(max_inner):
+        nbr = (
+            edges.join(color, edges.src == color.id)
+            .groupBy("dst")
+            .agg(F.max("c").alias("nc"))
+        )
+        # carry the pre-sweep color as `old`: convergence is a cheap scan
+        # of the materialized rows, not an extra |V|⋈|V| compare join
+        new_color = (
+            color.join(nbr, color.id == nbr.dst, "left")
+            .select(
+                "id",
+                F.greatest(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c"),
+                F.col("c").alias("old"),
+            )
+        )
+        parent = new_color.select(
+            F.col("id").alias("p_id"), F.col("c").alias("p_c")
+        )
+        new_color = (
+            new_color.join(
+                parent, new_color.c.getField("n") == parent.p_id, "left"
+            )
+            .select(
+                "id",
+                F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
+                "old",
+            )
+        )
+        block_end = (
+            check_every <= 1
+            or it % check_every == check_every - 1
+            or it >= max_inner - 1
+        )
+        if not block_end:
+            new_color = new_color.persist()
+            interm.append(new_color)
+            color = new_color.select("id", "c")
+            continue
+        # "the LAST sweep changed nothing" ⟹ fixpoint — cadence-invariant.
+        # persist FIRST, count from cache, checkpoint from cache: an eager
+        # localCheckpoint directly on the unpersisted multi-consumer join
+        # pipeline re-executes the chain per consumer in these iterative
+        # shapes — measured 3× cost growth PER SUPERSTEP (geometric) on the
+        # transcripts conv graph until this ordering was restored.
+        cached = new_color.persist()
+        n_changed = cached.filter(F.col("c") != F.col("old")).count()
+        new_color = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        color = new_color.select("id", "c")
+        for df in interm:
+            df.unpersist()
+        interm = []
+        if n_changed == 0:
+            break
+    return color
+
+
 def strongly_connected_components(
-    graph: GraphDF, max_rounds: int = 100, max_inner: int = 100
+    graph: GraphDF, max_rounds: int = 100, max_inner: int = 100,
+    check_every: int = 1,
 ) -> DataFrame:
     """(id: long, component: long) — SCCs of a DIRECTED graph.
 
@@ -230,12 +309,14 @@ def strongly_connected_components(
     prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
-        return _scc_impl(graph, max_rounds, max_inner)
+        return _scc_impl(graph, max_rounds, max_inner, check_every)
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
 
 
-def _scc_impl(graph: GraphDF, max_rounds: int, max_inner: int) -> DataFrame:
+def _scc_impl(
+    graph: GraphDF, max_rounds: int, max_inner: int, check_every: int = 1
+) -> DataFrame:
     e_all = (
         graph.E.select("src", "dst").filter("src != dst").distinct()
         .repartition("src").sortWithinPartitions("src").persist()
@@ -263,42 +344,7 @@ def _scc_impl(graph: GraphDF, max_rounds: int, max_inner: int) -> DataFrame:
                 F.col("id").alias("n"),
             ).alias("c"),
         ).localCheckpoint(eager=True)
-        for _ in range(max_inner):
-            nbr = (
-                active_e.join(color, active_e.src == color.id)
-                .groupBy("dst")
-                .agg(F.max("c").alias("nc"))
-            )
-            new_color = (
-                color.join(nbr, color.id == nbr.dst, "left")
-                .select(
-                    "id",
-                    F.greatest(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c"),
-                )
-            )
-            parent = new_color.select(
-                F.col("id").alias("p_id"), F.col("c").alias("p_c")
-            )
-            new_color = (
-                new_color.join(
-                    parent, new_color.c.getField("n") == parent.p_id, "left"
-                )
-                .select(
-                    "id",
-                    F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
-                )
-                .persist()
-            )
-            n_changed = (
-                new_color.alias("nw")
-                .join(color.alias("o"), "id")
-                .filter(F.col("nw.c") != F.col("o.c"))
-                .count()
-            )
-            new_color = new_color.localCheckpoint(eager=True)
-            color = new_color
-            if n_changed == 0:
-                break
+        color = _struct_max_fixpoint(active_e, color, max_inner, check_every)
         color = color.select("id", F.col("c").getField("n").alias("color"))
         # ---- 2. backward containment as a SECOND coloring fixpoint.
         # Every class member has strictly lower priority than its pivot
@@ -323,38 +369,7 @@ def _scc_impl(graph: GraphDF, max_rounds: int, max_inner: int) -> DataFrame:
                 F.col("id").alias("n"),
             ).alias("c"),
         ).localCheckpoint(eager=True)
-        for _ in range(max_inner):
-            nbr = (
-                e_rev.join(bcolor, e_rev.src == bcolor.id)
-                .groupBy("dst")
-                .agg(F.max("c").alias("nc"))
-            )
-            new_b = (
-                bcolor.join(nbr, bcolor.id == nbr.dst, "left")
-                .select(
-                    "id",
-                    F.greatest(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c"),
-                )
-            )
-            parent = new_b.select(F.col("id").alias("p_id"), F.col("c").alias("p_c"))
-            new_b = (
-                new_b.join(parent, new_b.c.getField("n") == parent.p_id, "left")
-                .select(
-                    "id",
-                    F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
-                )
-                .persist()
-            )
-            n_changed = (
-                new_b.alias("nw")
-                .join(bcolor.alias("o"), "id")
-                .filter(F.col("nw.c") != F.col("o.c"))
-                .count()
-            )
-            new_b = new_b.localCheckpoint(eager=True)
-            bcolor = new_b
-            if n_changed == 0:
-                break
+        bcolor = _struct_max_fixpoint(e_rev, bcolor, max_inner, check_every)
         bcolor = bcolor.select("id", F.col("c").getField("n").alias("bcolor"))
         cells = color.join(bcolor, "id").localCheckpoint(eager=True)
         scc = cells.filter(F.col("color") == F.col("bcolor")).select(

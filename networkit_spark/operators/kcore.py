@@ -75,6 +75,7 @@ def core_decomposition_hindex(
     graph: GraphDF,
     max_iterations: int = 10_000,
     fixed_iterations: int | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """(id: long, core: long) via iterative h-index propagation (Lü et al.,
     'The H-index of a network node', Nature Comms 2016):
@@ -91,6 +92,12 @@ def core_decomposition_hindex(
 
     `fixed_iterations` runs exactly that many supersteps (SQL-oracle parity:
     DuckDB unrolls the same count — results match even pre-convergence).
+
+    `check_every`: fuse this many supersteps per materialization —
+    intermediate sweeps cache lazily (no job); the block-end convergence
+    count runs the block as one job. h-index values are monotone
+    non-increasing, so "no change across the block" ⟺ fixpoint: final
+    cores are bit-identical at any cadence (worst case k-1 no-op sweeps).
     """
     from pyspark.sql import Window
 
@@ -109,7 +116,8 @@ def core_decomposition_hindex(
     ).localCheckpoint(eager=True)
 
     iters = fixed_iterations if fixed_iterations is not None else max_iterations
-    for _ in range(iters):
+    interm = []
+    for it in range(iters):
         nbr_vals = e.join(c, e.src == c.id).select("dst", "val", c.id.alias("nid"))
         h = (
             nbr_vals.withColumn("rnk", F.row_number().over(
@@ -118,21 +126,42 @@ def core_decomposition_hindex(
             .groupBy("dst")
             .agg(F.max(F.least(F.col("val"), F.col("rnk"))).alias("h"))
         )
-        new_c = graph.V.join(h, graph.V.id == h.dst, "left").select(
-            "id", F.coalesce("h", F.lit(0)).cast("long").alias("val")
+        # join against c (≡ V, carries the pre-sweep value as `old`): the
+        # convergence count is a cheap scan of the materialized rows — no
+        # extra |V|⋈|V| compare join per sweep
+        new_c = c.join(h, c.id == h.dst, "left").select(
+            "id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("val"),
+            F.col("val").alias("old"),
         )
         if fixed_iterations is not None:
-            c = new_c.localCheckpoint(eager=True)
+            c = new_c.select("id", "val").localCheckpoint(eager=True)
             continue
-        new_c = new_c.persist()
-        n_changed = (
-            new_c.alias("n")
-            .join(c.alias("o"), "id")
-            .filter(F.col("n.val") != F.col("o.val"))
-            .count()
+        block_end = (
+            check_every <= 1
+            or it % check_every == check_every - 1
+            or it >= iters - 1
         )
-        new_c = new_c.localCheckpoint(eager=True)
-        c = new_c
+        if not block_end:
+            # fused superstep: lazy cache — the block-end checkpoint below
+            # materializes the whole block in one job
+            new_c = new_c.persist()
+            interm.append(new_c)
+            c = new_c.select("id", "val")
+            continue
+        # "the LAST sweep changed nothing" ⟹ fixpoint (deterministic sweep
+        # function) — cadence-invariant, final cores bit-identical.
+        # persist FIRST, count from cache, checkpoint from cache (see
+        # components._struct_max_fixpoint — direct eager checkpoints on
+        # multi-consumer iterative pipelines re-execute geometrically)
+        cached = new_c.persist()
+        n_changed = cached.filter(F.col("val") != F.col("old")).count()
+        new_c = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        c = new_c.select("id", "val")
+        for df in interm:
+            df.unpersist()
+        interm = []
         if n_changed == 0:
             break
     e.unpersist()

@@ -159,16 +159,32 @@ def pagerank(
         mass = contrib.groupBy("dst").agg(F.sum("mass").alias("mass"))
         if broadcast_rank:
             mass = F.broadcast(mass)
-        new_rank = (
-            v.join(mass, v.id == mass.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("score"),
+        if tol >= 0:
+            # tol mode: join the PREVIOUS rank (same id set as v) so the old
+            # score rides along — the convergence norm below is then a
+            # cheap scan of the checkpointed rows, not a |V|⋈|V| join
+            new_rank = (
+                rank.join(mass, rank.id == mass.dst, "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                    ).alias("score"),
+                    F.col("score").alias("old_score"),
+                )
             )
-        )
+        else:
+            new_rank = (
+                v.join(mass, v.id == mass.dst, "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
 
         # materialize the new rank vector FIRST (truncating lineage — rank
         # is referenced twice per superstep, so an untruncated plan doubles
@@ -182,8 +198,14 @@ def pagerank(
             or it >= max_it - 1
         )
         if checkpointer is not None and (it % checkpoint_every == 0):
-            saved = checkpointer.save(it, {"rank": new_rank}, metrics=None)
-            new_rank = saved["rank"]
+            saved = checkpointer.save(
+                it, {"rank": new_rank.select("id", "score")}, metrics=None
+            )
+            # keep the 3-col local frame for the delta scan below; the
+            # saved 2-col frame becomes next superstep's rank
+            saved_rank = saved["rank"]
+            if tol >= 0:
+                new_rank = new_rank.localCheckpoint(eager=True)
         elif do_truncate:
             new_rank = new_rank.localCheckpoint(eager=True)
 
@@ -191,13 +213,7 @@ def pagerank(
         if tol >= 0:
             diff = F.col("score") - F.col("old_score")
             d_expr = diff * diff if norm == "l2" else F.abs(diff)
-            agg = (
-                new_rank.join(
-                    rank.select("id", F.col("score").alias("old_score")), "id"
-                )
-                .agg(F.sum(d_expr).alias("d"))
-                .collect()[0]
-            )
+            agg = new_rank.agg(F.sum(d_expr).alias("d")).collect()[0]
             delta = math.sqrt(agg["d"]) if norm == "l2" else agg["d"]
         if checkpointer is not None and (it % checkpoint_every == 0):
             checkpointer.log_metrics(
@@ -210,7 +226,13 @@ def pagerank(
             )
         if stats is not None:
             stats["iter_secs"].append(time.time() - t0)
-        rank = new_rank
+        if checkpointer is not None and (it % checkpoint_every == 0):
+            rank = saved_rank
+        elif tol >= 0:
+            # trim the carried old_score: only (id, score) moves next sweep
+            rank = new_rank.select("id", "score")
+        else:
+            rank = new_rank
         it += 1
         if delta <= tol:
             break

@@ -132,19 +132,22 @@ def plp(
             checkpointer is not None
         )
         n_updated = -1
-        if need_count:
-            joined = joined.persist()
-            n_updated = int(
-                joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
-            )
-        new_labels = joined.select("id", F.col("new").alias("label"))
-
         block_end = (
             need_count
             or truncate_every <= 1
             or (it - start) % truncate_every == truncate_every - 1
             or it >= max_it - 1
         )
+        if need_count:
+            # persist FIRST, count the chg column from cache — the label
+            # projection, frontier, and checkpoint below all read this one
+            # materialization (direct eager checkpoints on multi-consumer
+            # iterative pipelines re-execute geometrically; see
+            # components._struct_max_fixpoint)
+            joined = joined.persist()
+            n_updated = joined.filter("chg").count()
+        new_labels = joined.select("id", F.col("new").alias("label"))
+
         if checkpointer is not None:
             new_labels = checkpointer.save(
                 it,
@@ -156,6 +159,8 @@ def plp(
                 },
             )["labels"]
         elif block_end:
+            # need_count sweeps read the joined cache; fused block ends
+            # materialize the whole block here
             new_labels = new_labels.localCheckpoint(eager=True)
             for df in interm:
                 df.unpersist()

@@ -185,3 +185,18 @@ def test_wcc_check_cadence_bit_identical(spark):
     fused2 = _labels(weakly_connected_components(g, check_every=2))
     fused3 = _labels(weakly_connected_components(g, check_every=3))
     assert base == fused2 == fused3
+
+
+def test_scc_check_cadence_bit_identical(spark):
+    from networkit_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    edges = powerlaw_directed_edges(n=120, m=500)
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=True)
+    base = _labels(strongly_connected_components(g))
+    fused2 = _labels(strongly_connected_components(g, check_every=2))
+    assert base == fused2

@@ -117,3 +117,21 @@ def test_kcore_hindex_equals_peel(spark):
     peel2 = {r["id"]: r["core"] for r in core_decomposition(g2).collect()}
     hidx2 = {r["id"]: r["core"] for r in core_decomposition_hindex(g2).collect()}
     assert hidx2 == peel2
+
+
+def test_kcore_hindex_check_cadence_bit_identical(spark):
+    # fused supersteps (check_every > 1) change job boundaries and the
+    # convergence-count cadence only — core numbers must be bit-identical
+    from networkit_spark.operators.kcore import core_decomposition_hindex
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    base = {r["id"]: r["core"] for r in core_decomposition_hindex(g).collect()}
+    fused2 = {
+        r["id"]: r["core"]
+        for r in core_decomposition_hindex(g, check_every=2).collect()
+    }
+    fused3 = {
+        r["id"]: r["core"]
+        for r in core_decomposition_hindex(g, check_every=3).collect()
+    }
+    assert base == fused2 == fused3

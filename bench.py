@@ -80,10 +80,14 @@ def main():
     m_cs = g_cs.number_of_edges()
     if want("pagerank_cs"):
         t0 = time.time()
-        # truncate_every=2 fuses superstep pairs into one job — results are
-        # bit-identical (test_pagerank_truncate_cadence_bit_identical);
-        # halves the per-superstep job-launch + checkpoint-write fixed cost
-        pagerank_fixed(g_cs, iterations=pr_iters, truncate_every=2).count()
+        # truncate_every fuses supersteps into one job — bit-identical
+        # (test_pagerank_truncate_cadence_bit_identical) but MEASURED slower
+        # at sf0.1 local[32] for every kernel incl. pagerank (fused medians
+        # 29.3 vs 24.7s; BENCH/BASELINE.md round-3 notes), so cadence 1 is
+        # the default everywhere; the knob remains for fixed-cost-dominated
+        # regimes (tiny per-superstep state on a large cluster)
+        pr_te = int(os.environ.get("BENCH_PR_TRUNCATE_EVERY", "1"))
+        pagerank_fixed(g_cs, iterations=pr_iters, truncate_every=pr_te).count()
         dt = time.time() - t0
         timings["pagerank_cs"] = round(dt, 3)
         throughput["pagerank_cs"] = {
@@ -97,7 +101,7 @@ def main():
         t0 = time.time()
         # fused convergence-check cadence (see components.py check_every) —
         # bit-identical labels, fewer jobs; BENCH_WCC_CHECK_EVERY overrides
-        wcc_ce = int(os.environ.get("BENCH_WCC_CHECK_EVERY", "2"))
+        wcc_ce = int(os.environ.get("BENCH_WCC_CHECK_EVERY", "1"))
         weakly_connected_components(g_cs, check_every=wcc_ce).count()
         dt = time.time() - t0
         timings["wcc_cs"] = round(dt, 3)
@@ -108,7 +112,7 @@ def main():
     if want("plp_co"):
         m_co = g_co.number_of_edges()
         t0 = time.time()
-        plp_te = int(os.environ.get("BENCH_PLP_TRUNCATE_EVERY", "2"))
+        plp_te = int(os.environ.get("BENCH_PLP_TRUNCATE_EVERY", "1"))
         plp_fixed(g_co, iterations=4, truncate_every=plp_te).count()
         dt = time.time() - t0
         timings["plp_co"] = round(dt, 3)
@@ -139,13 +143,13 @@ def main():
 
     if want("kcore_hindex_co"):
         t0 = time.time()
-        kc_ce = int(os.environ.get("BENCH_KCORE_CHECK_EVERY", "2"))
+        kc_ce = int(os.environ.get("BENCH_KCORE_CHECK_EVERY", "1"))
         core_decomposition_hindex(g_co, check_every=kc_ce).count()
         timings["kcore_hindex_co"] = round(time.time() - t0, 3)
 
     if want("scc_cs"):
         t0 = time.time()
-        scc_ce = int(os.environ.get("BENCH_SCC_CHECK_EVERY", "2"))
+        scc_ce = int(os.environ.get("BENCH_SCC_CHECK_EVERY", "1"))
         strongly_connected_components(g_cs, check_every=scc_ce).count()
         timings["scc_cs"] = round(time.time() - t0, 3)
 

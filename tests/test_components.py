@@ -200,3 +200,20 @@ def test_scc_check_cadence_bit_identical(spark):
     base = _labels(strongly_connected_components(g))
     fused2 = _labels(strongly_connected_components(g, check_every=2))
     assert base == fused2
+
+
+def test_scc_deep_chain_with_cycles(spark):
+    # regression guard for the geometric checkpoint blowup: a chain-shaped
+    # directed graph (the transcripts conv shape) with a few back-edges
+    # forming cycles. Before the persist-before-checkpoint ordering fix the
+    # SCC inner fixpoint re-executed 3x per superstep here and effectively
+    # hung; with it the whole run is seconds.
+    from networkit_spark.operators.components import strongly_connected_components
+
+    n = 240
+    edges = [(i, i + 1) for i in range(n - 1)]
+    # back-edges every 40 nodes -> 40-node SCC cycles along the chain
+    edges += [(i + 39, i) for i in range(0, n - 40, 40)]
+    g = GraphDF.from_edge_list(spark, edges, directed=True, num_nodes=n)
+    labels = _labels(strongly_connected_components(g))
+    assert _groups(labels) == set(_tarjan_oracle(n, edges))

@@ -46,22 +46,30 @@ def sessionize_stream(
         ts_us: list[int] = []
         for pdf in pdf_iter:
             ts_us.extend(int(t) // 1000 for t in pdf[ts_col].astype("int64"))
-        ts_us.sort()
 
+        # interval merge over {batch events} ∪ {carried open session}: sort
+        # by start, fuse whenever the next start is within gap of the open
+        # end. Handles out-of-order arrival across micro-batches — an event
+        # EARLIER than the carried session's start (but within gap) extends
+        # the session backwards (session_start = min), and early stragglers
+        # beyond the gap become their own closed sessions. The last merged
+        # interval stays open. NOTE: a backward extension re-emits the open
+        # session under its new (earlier) session_start; the prior snapshot
+        # row keyed on the old start is superseded — exactly how Spark's
+        # own session_window merges redefine window identity.
+        items = [[t, t, 1] for t in ts_us]
         if state.exists:
-            start_us, end_us, n = state.get
-            cur = [start_us, end_us, n]
-        else:
-            cur = None
-        closed: list[list[int]] = []
-        for t in ts_us:
-            if cur is not None and t - cur[1] <= gap_us:
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
+            items.append(list(state.get))
+        items.sort()
+        merged: list[list[int]] = []
+        for iv in items:
+            if merged and iv[0] <= merged[-1][1] + gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
             else:
-                if cur is not None:
-                    closed.append(cur)
-                cur = [t, t, 1]
+                merged.append(list(iv))
+        closed = merged[:-1]
+        cur = merged[-1]
         state.update((cur[0], cur[1], cur[2]))
 
         rows = [(c, False) for c in closed] + [(cur, True)]

@@ -108,15 +108,17 @@ def test_windowed_counts_streaming_watermark(spark, tmp):
 def test_sessionize_stream_state_across_batches(spark, tmp):
     src = os.path.join(tmp, "in")
     os.makedirs(src)
+    # coalesce(1): each logical batch must be ONE file so that
+    # maxFilesPerTrigger=1 yields exactly the intended micro-batch split
     _events(
         spark,
         [(0, 1, "click", 1.0), (10, 1, "click", 1.0), (0, 2, "view", 1.0)],
-    ).write.parquet(os.path.join(src, "b0"))
+    ).coalesce(1).write.parquet(os.path.join(src, "b0"))
     time.sleep(1.1)
     _events(
         spark,
         [(15, 1, "click", 1.0), (10000, 2, "view", 1.0)],
-    ).write.parquet(os.path.join(src, "b1"))
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
 
     stream = spark.readStream.schema(EV_SCHEMA).option(
         "maxFilesPerTrigger", 1
@@ -146,3 +148,40 @@ def test_sessionize_stream_state_across_batches(spark, tmp):
     assert final[(2, T0 + timedelta(seconds=10000))] == (
         T0 + timedelta(seconds=10000), 1, True)
     assert len(final) == 3
+
+
+def test_sessionize_stream_backward_extension(spark, tmp):
+    # an event EARLIER than the carried session's start arriving in a later
+    # micro-batch (out-of-order across batches, within gap) must extend the
+    # session backwards: session_start = min over merged events
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    _events(spark, [(10, 1, "click", 1.0)]).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    time.sleep(1.1)
+    _events(spark, [(0, 1, "click", 1.0)]).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+
+    stream = spark.readStream.schema(EV_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(os.path.join(src, "*"))
+    sess = sessionize_stream(stream, gap_seconds=60)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_bw")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM sessions_bw ORDER BY key, session_start"
+    ).collect():
+        final[(r["key"], r["session_start"])] = (
+            r["session_end"], r["n"], r["open"]
+        )
+    # the merged session under its extended (earliest) start
+    assert final[(1, T0)] == (T0 + timedelta(seconds=10), 2, True)

@@ -671,3 +671,16 @@ def matching_coarsening(
         GraphDF(cv, ce, directed=False, weighted=True),
         mapping,
     )
+
+
+def dynamic_nmi_distance(old_labels: DataFrame, new_labels: DataFrame) -> float:
+    """DynamicNMIDistance (community/DynamicNMIDistance.cpp:29-44 isInBoth,
+    :47-120 getDissimilarity): NMI dissimilarity between the clustering
+    before and after a dynamic update, evaluated over the nodes present in
+    BOTH partitions (nodes added/removed by the update are excluded from the
+    contingency, exactly the reference's isInBoth filter). Reuses the static
+    NMI machinery on the inner-joined node set."""
+    common = old_labels.select("id").join(new_labels.select("id"), "id")
+    a = old_labels.join(common, "id").select("id", "label")
+    b = new_labels.join(common, "id").select("id", "label")
+    return nmi_distance(a, b)

@@ -613,3 +613,57 @@ class DynTopHarmonicCloseness(DynAPSP):
         self.dist = self.result
         self.result = self._top_from_dist()
         return True
+
+
+def affected_nodes(graph: GraphDF, u: int, v: int, added: bool = True) -> DataFrame:
+    """AffectedNodes (distance/AffectedNodes.cpp:14-120): the node set whose
+    BFS distance from an endpoint of the modified edge (u, v) changes.
+
+    The reference runs two sequential BFS traversals per endpoint and
+    compares improvements; the Spark shape is ONE batched two-source BFS
+    (bfs.py multi-source frontier) on the pre-event graph:
+
+      * edge ADDITION (u,v): node w's distance from u improves iff the new
+        edge opens a shortcut through v — 1 + d(v,w) < d(u,w) — and
+        symmetrically for v, so affected = {w : |d(u,w) − d(v,w)| > 1},
+        with an unreached side counting as infinity (the edge connects w's
+        component to the other endpoint).
+      * edge REMOVAL: two batched BFS runs (before/after); affected =
+        {w : dist changed or reachability lost}.
+
+    Returns (id: long). Used as the pruning set by the Dyn* recompute tier.
+    """
+    from networkit_spark.operators.bfs import bfs_distances
+
+    if added:
+        d = bfs_distances(graph, [u, v])
+        du = d.filter(F.col("source") == u).select("id", F.col("dist").alias("du"))
+        dv = d.filter(F.col("source") == v).select("id", F.col("dist").alias("dv"))
+        both = graph.V.select("id").join(du, "id", "left").join(dv, "id", "left")
+        inf = F.lit(1 << 60)
+        a = F.coalesce("du", inf)
+        b = F.coalesce("dv", inf)
+        return both.filter(
+            F.greatest(a, b) - F.least(a, b) > 1
+        ).select("id").orderBy("id")
+    # removal: compare distances with and without the edge
+    cond = ~(
+        ((F.col("src") == u) & (F.col("dst") == v))
+        | ((F.col("src") == v) & (F.col("dst") == u))
+    )
+    g_after = GraphDF(
+        graph.V, graph.E.filter(cond), directed=graph.directed,
+        weighted=graph.weighted,
+    )
+    before = bfs_distances(graph, [u, v])
+    after = bfs_distances(g_after, [u, v])
+    b4 = before.select("source", "id", F.col("dist").alias("d0"))
+    af = after.select("source", "id", F.col("dist").alias("d1"))
+    full = b4.join(af, ["source", "id"], "full")
+    return (
+        full.filter(
+            F.col("d0").isNull() | F.col("d1").isNull()
+            | (F.col("d0") != F.col("d1"))
+        )
+        .select("id").distinct().orderBy("id")
+    )

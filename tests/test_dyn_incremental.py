@@ -221,3 +221,93 @@ def test_pagerank_warm_start_converges_immediately(spark):
     c = {r["id"]: r["score"] for r in again.collect()}
     for k in a:
         assert math.isclose(a[k], c[k], abs_tol=1e-8)
+
+
+def _bfs_py(n, edges, src):
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        x = q.popleft()
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def test_affected_nodes_addition_matches_distance_delta(spark):
+    # oracle: w affected ⟺ its BFS distance from u or v actually changes
+    # when (u, v) is inserted (distance/AffectedNodes.cpp semantics)
+    from networkit_spark.operators.dynamics import affected_nodes
+    from tests.fixtures import KARATE_EDGES, KARATE_N
+
+    u, v = 16, 26  # far-apart karate nodes
+    assert (u, v) not in KARATE_EDGES and (v, u) not in KARATE_EDGES
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {r["id"] for r in affected_nodes(g, u, v, added=True).collect()}
+
+    after = KARATE_EDGES + [(u, v)]
+    want = set()
+    for s in (u, v):
+        d0 = _bfs_py(KARATE_N, KARATE_EDGES, s)
+        d1 = _bfs_py(KARATE_N, after, s)
+        want |= {
+            w for w in range(KARATE_N)
+            if d0.get(w, 1 << 60) != d1.get(w, 1 << 60)
+        }
+    assert got == want
+
+
+def test_affected_nodes_removal_matches_distance_delta(spark):
+    from networkit_spark.operators.dynamics import affected_nodes
+    from tests.fixtures import KARATE_EDGES, KARATE_N
+
+    u, v = KARATE_EDGES[0]
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {r["id"] for r in affected_nodes(g, u, v, added=False).collect()}
+
+    after = [e for e in KARATE_EDGES if e not in ((u, v), (v, u))]
+    want = set()
+    for s in (u, v):
+        d0 = _bfs_py(KARATE_N, KARATE_EDGES, s)
+        d1 = _bfs_py(KARATE_N, after, s)
+        want |= {
+            w for w in range(KARATE_N)
+            if d0.get(w, 1 << 60) != d1.get(w, 1 << 60)
+        }
+    assert got == want
+
+
+def test_dynamic_nmi_distance_common_nodes_only(spark):
+    from networkit_spark.operators.community import (
+        dynamic_nmi_distance,
+        nmi_distance,
+    )
+
+    old = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "id long, label long"
+    )
+    new_same = spark.createDataFrame(
+        [(i, (i % 3) + 7) for i in range(12)], "id long, label long"
+    )
+    # identical partition under renaming -> distance 0
+    assert abs(dynamic_nmi_distance(old, new_same)) < 1e-12
+    # extra nodes in the new clustering are excluded (isInBoth): the
+    # restricted comparison still sees the identical partition
+    new_grown = new_same.unionByName(
+        spark.createDataFrame([(100, 0), (101, 1)], "id long, label long")
+    )
+    assert abs(dynamic_nmi_distance(old, new_grown)) < 1e-12
+    # and it agrees with static NMI on an equal node set
+    new_diff = spark.createDataFrame(
+        [(i, i % 2) for i in range(12)], "id long, label long"
+    )
+    assert abs(
+        dynamic_nmi_distance(old, new_diff) - nmi_distance(old, new_diff)
+    ) < 1e-12

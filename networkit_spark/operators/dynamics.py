@@ -667,3 +667,32 @@ def affected_nodes(graph: GraphDF, u: int, v: int, added: bool = True) -> DataFr
         )
         .select("id").distinct().orderBy("id")
     )
+
+
+class DynBetweennessOneNode(DynAlgorithm):
+    """DynBetweennessOneNode (centrality/DynBetweennessOneNode.cpp):
+    maintain the betweenness score of ONE tracked node x under event
+    batches. The reference repairs affected (s, t) pair dependencies in
+    place (an inherently pointer-chasing update); the distributed tier is
+    the honest recompute-on-batch contract the rest of this Dyn family
+    uses for unsupported shapes: each update folds the batch and re-runs
+    exact batched Brandes, reading off score(x). result: one-row
+    (id, score) DataFrame for x."""
+
+    def __init__(self, graph: GraphDF, x: int, normalized: bool = False):
+        self.x = int(x)
+        self.normalized = normalized
+        super().__init__(graph)
+
+    def _solve(self) -> None:
+        from networkit_spark.operators.betweenness import betweenness
+
+        self.result = (
+            betweenness(self.graph, normalized=self.normalized)
+            .filter(F.col("id") == self.x)
+            .localCheckpoint(eager=True)
+        )
+
+    def score(self) -> float:
+        rows = self.result.collect()
+        return float(rows[0]["score"]) if rows else 0.0

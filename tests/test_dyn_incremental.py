@@ -311,3 +311,25 @@ def test_dynamic_nmi_distance_common_nodes_only(spark):
     assert abs(
         dynamic_nmi_distance(old, new_diff) - nmi_distance(old, new_diff)
     ) < 1e-12
+
+
+def test_dyn_betweenness_one_node_tracks_inserts(spark):
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.operators.dynamics import DynBetweennessOneNode
+    from tests.fixtures import KARATE_EDGES, KARATE_N
+
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    x = 0
+    dyn = DynBetweennessOneNode(g, x)
+    want0 = {
+        r["id"]: r["score"] for r in betweenness(g).collect()
+    }[x]
+    assert abs(dyn.score() - want0) < 1e-9
+
+    # insert an edge between two far nodes and verify the tracked score
+    dyn.update(events_from_list(spark, [(0, "EDGE_ADDITION", 16, 26, 1.0)]))
+    g2 = GraphDF.from_edge_list(
+        spark, KARATE_EDGES + [(16, 26)], num_nodes=KARATE_N
+    )
+    want1 = {r["id"]: r["score"] for r in betweenness(g2).collect()}[x]
+    assert abs(dyn.score() - want1) < 1e-9

@@ -528,6 +528,49 @@ class distance:
             # unreachable target → inf, like the reference's STSP contract
             return float("inf") if self._dist is None else float(self._dist)
 
+    class IncompleteDijkstra:
+        """distance/IncompleteDijkstra.hpp: lazy nearest-node iterator from
+        a source set, with `explored` nodes treated as nonexistent. run()
+        settles the distributed table (operators/bfs.incomplete_dijkstra);
+        hasNext()/next() then replay it in the reference's emission order
+        (ascending distance) — the iterator surface is fixture-tier by
+        definition, like the reference's pair-at-a-time API."""
+
+        def __init__(self, G, sources: list[int], explored=None):
+            self._G = _gdf(G)
+            self._sources = list(sources)
+            self._explored = explored
+            self._rows: list | None = None
+            self._pos = 0
+            self._frame = None
+
+        def run(self):
+            from networkit_spark.operators.bfs import incomplete_dijkstra
+
+            self._frame = incomplete_dijkstra(
+                self._G, self._sources, explored=self._explored
+            )
+            self._rows = self._frame.collect()
+            self._pos = 0
+            return self
+
+        def frame(self) -> DataFrame:
+            if self._frame is None:
+                raise RuntimeError("call run() first")
+            return self._frame
+
+        def hasNext(self) -> bool:
+            if self._rows is None:
+                self.run()
+            return self._pos < len(self._rows)
+
+        def next(self) -> tuple[int, float]:
+            if not self.hasNext():
+                raise ValueError("No next element")
+            r = self._rows[self._pos]
+            self._pos += 1
+            return (int(r["id"]), float(r["dist"]))
+
     class Diameter(_Algorithm):
         def __init__(self, G, nSamples: int = 8):
             super().__init__(G)
@@ -658,6 +701,7 @@ class Format:
     GraphToolBinary = "graphtool"
     ThrillBinary = "thrill"
     NetworkitBinary = "networkit"
+    MAT = "mat"
 
 
 def readGraph(path: str, fileformat: str = Format.EdgeListSpaceOne,
@@ -688,6 +732,10 @@ def readGraph(path: str, fileformat: str = Format.EdgeListSpaceOne,
     if ff == Format.GEXF:
         g, _events = read_gexf(spark, path)
         return g
+    if ff == Format.MAT:
+        from networkit_spark.sources.matio import read_mat
+
+        return read_mat(spark, path, **kwargs)
     if ff not in dispatch:
         raise ValueError(f"unsupported format: {ff}")
     return dispatch[ff](spark, path, **kwargs)
@@ -715,6 +763,11 @@ def writeGraph(G, path: str, fileformat: str = Format.EdgeListSpaceOne,
         Format.ThrillBinary: readers.write_thrill,
         Format.NetworkitBinary: readers.write_parquet,
     }
+    if ff == Format.MAT:
+        from networkit_spark.sources.matio import write_mat
+
+        write_mat(g, path, **kwargs)
+        return
     if ff not in dispatch:
         raise ValueError(f"unsupported format: {ff}")
     dispatch[ff](g, path, **kwargs)

@@ -280,7 +280,6 @@ def approx_betweenness(
     import math
 
     from networkit_spark.operators.bfs import diameter_lower_bound
-    from networkit_spark.plans.ranking import global_row_numbers
 
     spark = graph.V.sparkSession
     n = graph.number_of_nodes()
@@ -303,8 +302,28 @@ def approx_betweenness(
         r = int(n_samples)
     r = max(r, 1)
 
-    # ---- sample r (u, v) pairs, u != v, seeded (with replacement like the
-    # reference): node-by-rank lookup against a hash-shuffled V
+    pairs = sample_pairs(graph, r, seed)
+    inc, _found = sample_path_increments(graph, pairs, seed, max_depth)
+    if return_internals:
+        return inc
+    score = inc.groupBy(F.col("node").alias("id")).agg(
+        (F.count("*") / F.lit(float(r))).alias("score")
+    )
+    return graph.V.join(score, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+
+
+def sample_pairs(graph: GraphDF, r: int, seed: int) -> DataFrame:
+    """r seeded (sample, u, v) node pairs, u ≠ v, drawn WITH replacement
+    (ApproxBetweenness.cpp:60-66's uniform pair draws): node-by-rank lookup
+    against a hash-shuffled V. Pure function of (V, r, seed) — edge events
+    never change it, which is what lets DynApproxBetweenness keep its pair
+    set across updates and still match a fresh approx_betweenness run."""
+    from networkit_spark.plans.ranking import global_row_numbers
+
+    spark = graph.V.sparkSession
+    n = graph.number_of_nodes()
     ranked = global_row_numbers(
         graph.V.select("id").withColumn("h", F.xxhash64("id", F.lit(seed))),
         ["h", "id"],
@@ -319,12 +338,67 @@ def approx_betweenness(
         # shift the target index past the source index: guarantees v != u
         F.when(vi_raw >= ui, vi_raw + 1).otherwise(vi_raw).alias("vi"),
     )
-    pairs = (
+    return (
         pairs.join(ranked.select(F.col("rk").alias("ui"), F.col("id").alias("u")), "ui")
         .join(ranked.select(F.col("rk").alias("vi"), F.col("id").alias("v")), "vi")
         .select("sample", "u", "v")
         .localCheckpoint(eager=True)
     )
+
+
+def per_source_dependencies(
+    graph: GraphDF,
+    node: int,
+    sources: DataFrame | None = None,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """(source, dep) — the Brandes dependency δ_s(node) of ONE tracked node
+    for each source s ≠ node (Betweenness.cpp:72-88 read off at a single
+    node). Sources whose BFS never reaches `node` are absent (δ = 0).
+    DynBetweennessOneNode's repair path re-sweeps ONLY affected sources
+    through this, so the per-update cost is |affected| · O(diameter)
+    supersteps, never the full |V| sweep."""
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst").distinct()
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+    srcs = (sources if sources is not None else graph.V).select("id")
+    levels = _forward_levels(edges, srcs, max_depth)
+    delta = _dependency_sweep(edges, levels)
+    out = (
+        delta.filter((F.col("id") == node) & (F.col("source") != node))
+        .select("source", F.col("delta").alias("dep"))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+def sample_path_increments(
+    graph: GraphDF,
+    pairs: DataFrame,
+    seed: int,
+    max_depth: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The Riondato–Kornaropoulos path sampler shared by approx_betweenness
+    and DynApproxBetweenness: for each (sample, u, v) row of `pairs`, draw
+    ONE uniformly random shortest u→v path (σ-weighted backward walk,
+    ApproxBetweenness.cpp:79-88) with every random choice a seeded hash of
+    (sample, depth) — so a sample's path depends ONLY on its own shortest-
+    path DAG, never on which other samples run alongside it. That per-
+    sample determinism is what lets the Dyn tier re-sample just the
+    affected pairs and still match a full run bit-for-bit.
+
+    Returns (inc, found): inc = (sample, node) one row per internal node of
+    each sampled path; found = (sample, tdepth) the u→v hop distance for
+    every connected pair (unreached pairs absent)."""
+    from pyspark.sql import Window
+
+    spark = graph.V.sparkSession
+    empty_inc = spark.createDataFrame([], "sample long, node long")
+    empty_found = spark.createDataFrame([], "sample long, tdepth int")
+    if pairs.isEmpty():
+        return empty_inc, empty_found
 
     e = graph.E if graph.directed else graph.E_sym
     edges = e.select("src", "dst").distinct()
@@ -380,8 +454,6 @@ def approx_betweenness(
         .select("sample", F.col("v").alias("node"), F.col("tdepth").alias("depth"))
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window
-
     increments = []
     max_d = len(levels) - 1
     for d in range(max_d, 0, -1):
@@ -429,18 +501,11 @@ def approx_betweenness(
 
     edges.unpersist()
     if not increments:
-        return empty_inc if return_internals else zeros
+        return empty_inc, found
     inc = increments[0]
     for more in increments[1:]:
         inc = inc.unionByName(more)
-    if return_internals:
-        return inc
-    score = inc.groupBy(F.col("node").alias("id")).agg(
-        (F.count("*") / F.lit(float(r))).alias("score")
-    )
-    return graph.V.join(score, "id", "left").select(
-        "id", F.coalesce("score", F.lit(0.0)).alias("score")
-    )
+    return inc.localCheckpoint(eager=True), found
 
 
 def approx_group_betweenness(

@@ -411,6 +411,85 @@ def sssp_distances(
     return dist
 
 
+def incomplete_dijkstra(
+    graph: GraphDF,
+    sources: list[int],
+    explored: list[int] | DataFrame | None = None,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """IncompleteDijkstra (distance/IncompleteDijkstra.cpp:17-60): Dijkstra
+    from a SET of sources acting as one super-source, with an optional
+    `explored` node set treated as nonexistent — explored sources are not
+    seeded (:28-31) and explored neighbors are never relaxed (:50-52).
+    The reference exposes a lazy next()-nearest iterator; the distributed
+    result is the full settled table, (id, dist) ascending (dist, id) —
+    the iterator's emission order — over V \\ explored only, unreached
+    nodes omitted. Weighted Bellman-Ford relax to fixpoint (Dijkstra
+    semantics for the non-negative weights the reference requires);
+    the explored exclusion is ONE broadcast anti-join on each edge
+    endpoint, pushed below the relax loop so excluded nodes never enter
+    frontier state."""
+    spark = graph.V.sparkSession
+    if explored is None:
+        excl = None
+    elif isinstance(explored, DataFrame):
+        excl = explored.select(F.col("id").cast("long"))
+    else:
+        excl = spark.createDataFrame(
+            [(int(x),) for x in explored], "id long"
+        )
+    e = graph.E if graph.directed else graph.E_sym
+    edges = e.select("src", "dst", "weight")
+    verts = graph.V.select("id")
+    if excl is not None:
+        bx = F.broadcast(excl)
+        edges = edges.join(
+            bx.withColumnRenamed("id", "src"), "src", "left_anti"
+        ).join(bx.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        verts = verts.join(bx, "id", "left_anti")
+    edges = edges.repartition("src").sortWithinPartitions("src").persist()
+    edges.count()
+
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in dict.fromkeys(sources)], "id long"
+    ).join(verts, "id", "left_semi")  # explored sources are skipped
+    dist = src_df.select("id", F.lit(0.0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iterations):
+        cand = (
+            edges.join(dist, edges.src == dist.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("nd"),
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = dist.join(cand, "id", "full").select(
+            "id",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("nd", F.lit(float("inf"))),
+            ).alias("new_dist"),
+            (
+                F.col("dist").isNull()
+                | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+            ).alias("chg"),
+        ).persist()
+        n_changed = int(
+            joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        )
+        dist = joined.select("id", F.col("new_dist").alias("dist")).localCheckpoint(
+            eager=True
+        )
+        joined.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return dist.orderBy("dist", "id")
+
+
 def sssp_multi_distances(
     graph: GraphDF,
     sources: list[int] | DataFrame,

@@ -669,30 +669,341 @@ def affected_nodes(graph: GraphDF, u: int, v: int, added: bool = True) -> DataFr
     )
 
 
+_INF = 1 << 40  # finite stand-in for "unreachable" that survives + arithmetic
+
+
+def _single_new_edge(
+    events: DataFrame, etype: str, old_graph: GraphDF
+) -> tuple[int, int] | None:
+    """If the batch is exactly ONE novel edge event of `etype` (an addition
+    of an edge that didn't exist / a removal of one that did), return its
+    canonical (u0, v0); else None. Batches are metadata-sized (the same
+    tier as _batch_edge_types), so the collect is ≤ a handful of rows."""
+    batch = _canonical_batch_edges(events, etype, old_graph.directed)
+    old_e = old_graph.E
+    if not old_graph.directed:
+        old_e = old_e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+    how = "left_anti" if etype == "EDGE_ADDITION" else "left_semi"
+    rows = batch.join(old_e.distinct(), ["src", "dst"], how).collect()
+    if len(rows) != 1:
+        return None
+    return int(rows[0]["src"]), int(rows[0]["dst"])
+
+
+def _endpoint_distances(old_graph: GraphDF, u0: int, v0: int) -> DataFrame:
+    """(id, d_u0, d_v0): every node's OLD-graph distance TO u0 and TO v0
+    (reverse distances — on directed graphs one two-source BFS on the
+    transpose), with _INF for unreachable. This is the one batched
+    two-source BFS the affected-set pruning rests on (AffectedNodes.cpp's
+    traversal pair, run as a single multi-source frontier)."""
+    from networkit_spark.operators.bfs import bfs_distances
+
+    bg = old_graph.transpose() if old_graph.directed else old_graph
+    d = bfs_distances(bg, [u0, v0])
+    du = d.filter(F.col("source") == u0).select("id", F.col("dist").alias("d_u0"))
+    dv = d.filter(F.col("source") == v0).select("id", F.col("dist").alias("d_v0"))
+    inf = F.lit(_INF)
+    return (
+        old_graph.V.select("id")
+        .join(du, "id", "left")
+        .join(dv, "id", "left")
+        .select(
+            "id",
+            F.coalesce("d_u0", inf).alias("d_u0"),
+            F.coalesce("d_v0", inf).alias("d_v0"),
+        )
+    )
+
+
 class DynBetweennessOneNode(DynAlgorithm):
     """DynBetweennessOneNode (centrality/DynBetweennessOneNode.cpp):
     maintain the betweenness score of ONE tracked node x under event
-    batches. The reference repairs affected (s, t) pair dependencies in
-    place (an inherently pointer-chasing update); the distributed tier is
-    the honest recompute-on-batch contract the rest of this Dyn family
-    uses for unsupported shapes: each update folds the batch and re-runs
-    exact batched Brandes, reading off score(x). result: one-row
-    (id, score) DataFrame for x."""
+    batches.
+
+    The reference repairs affected (s, t) pair distances in place after a
+    single edge insertion. The distributed analog keeps bc(x) = Σ_s δ_s(x)
+    DECOMPOSED BY SOURCE (state: one (source, dep) row per source that
+    reaches x) and, for a single-edge insertion (u0, v0), re-sweeps Brandes
+    only from the AFFECTED sources — those for which the new edge lies on a
+    new-or-equal-length shortest path, i.e. d(s,u0) + 1 ≤ d(s,v0) or (if
+    undirected) the symmetric condition; every other source's SSSP DAG is
+    untouched, so its δ_s(x) is provably unchanged. The affected set is ONE
+    batched two-source BFS from {u0, v0} (reverse on directed graphs), the
+    same pruning primitive as affected_nodes() above. Per-update work is
+    therefore |affected sources| forward/backward sweeps, never |V|
+    (`last_resweep_sources` records the count). Removals and multi-edge
+    batches take the honest recompute fallback, like the reference's
+    unsupported event types. result: one-row (id, score) DataFrame for x."""
 
     def __init__(self, graph: GraphDF, x: int, normalized: bool = False):
         self.x = int(x)
         self.normalized = normalized
+        self.deps: DataFrame | None = None  # (source, dep) per reaching source
+        self.last_resweep_sources: int | None = None
         super().__init__(graph)
 
-    def _solve(self) -> None:
-        from networkit_spark.operators.betweenness import betweenness
+    def _norm_pairs(self) -> float:
+        if not self.normalized:
+            return 1.0
+        n = self.graph.number_of_nodes()
+        pairs = (n - 1) * (n - 2)
+        if not self.graph.directed:
+            pairs = pairs / 2
+        return float(max(pairs, 1))
 
-        self.result = (
-            betweenness(self.graph, normalized=self.normalized)
-            .filter(F.col("id") == self.x)
-            .localCheckpoint(eager=True)
+    def _result_from_deps(self) -> None:
+        total = self.deps.agg(
+            F.coalesce(F.sum("dep"), F.lit(0.0)).alias("score")
         )
+        self.result = total.select(
+            F.lit(self.x).cast("long").alias("id"),
+            (F.col("score") / F.lit(self._norm_pairs())).alias("score"),
+        ).localCheckpoint(eager=True)
+
+    def _solve(self) -> None:
+        from networkit_spark.operators.betweenness import per_source_dependencies
+
+        self.deps = per_source_dependencies(self.graph, self.x)
+        self.last_resweep_sources = self.graph.number_of_nodes()
+        self._result_from_deps()
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        weight_only = {"EDGE_WEIGHT_UPDATE", "EDGE_WEIGHT_INCREMENT"}
+        if types <= weight_only:
+            return True  # hop-count Brandes ignores weights
+        if not types <= ({"EDGE_ADDITION"} | weight_only):
+            return False
+        from networkit_spark.operators.betweenness import per_source_dependencies
+
+        edge = _single_new_edge(events, "EDGE_ADDITION", old_graph)
+        if edge is None:
+            # zero novel additions (duplicates only) are a no-op; multi-edge
+            # batches recompute (their affected sets interact)
+            batch = _canonical_batch_edges(
+                events, "EDGE_ADDITION", old_graph.directed
+            )
+            old_e = old_graph.E
+            if not old_graph.directed:
+                old_e = old_e.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+            if batch.join(old_e.distinct(), ["src", "dst"], "left_anti").isEmpty():
+                self.last_resweep_sources = 0
+                return True
+            return False
+        u0, v0 = edge
+        dists = _endpoint_distances(old_graph, u0, v0)
+        if old_graph.directed:
+            cond = (F.col("d_u0") < _INF) & (F.col("d_u0") + 1 <= F.col("d_v0"))
+        else:
+            cond = (
+                F.least("d_u0", "d_v0") < _INF
+            ) & (
+                F.greatest("d_u0", "d_v0") - F.least("d_u0", "d_v0") >= 1
+            )
+        aff = dists.filter(cond).select("id").localCheckpoint(eager=True)
+        n_aff = aff.count()
+        self.last_resweep_sources = n_aff
+        if n_aff == 0:
+            return True
+        new_deps = per_source_dependencies(self.graph, self.x, sources=aff)
+        kept = self.deps.join(
+            aff.select(F.col("id").alias("source")), "source", "left_anti"
+        )
+        self.deps = kept.unionByName(new_deps).localCheckpoint(eager=True)
+        self._result_from_deps()
+        return True
 
     def score(self) -> float:
         rows = self.result.collect()
         return float(rows[0]["score"]) if rows else 0.0
+
+
+class DynApproxBetweenness(DynAlgorithm):
+    """DynApproxBetweenness (centrality/DynApproxBetweenness.cpp): maintain
+    the Riondato–Kornaropoulos sampled-path betweenness estimate under
+    event batches. The reference stores the r sampled paths and, per
+    update, re-draws only the samples whose shortest-path DAG the edge
+    touches (DynApproxBetweenness.cpp sampleNewPaths over affected pairs).
+
+    Spark state: the seeded pair table (sample, u, v) — a pure function of
+    (V, r, seed), untouched by edge events — plus per-sample path
+    increments (sample, node) and per-sample pair distance (sample,
+    tdepth). A single-edge update computes each sample's OLD routed-
+    through-the-edge length from ONE two-source endpoint BFS
+    (d(u,u0) + 1 + d(v0,v), both orientations when undirected) and marks
+    the sample affected iff that length ≤ its current distance (addition —
+    the new edge creates a shorter or tie path, changing the DAG or σ) or
+    == it (removal — the edge lay on some shortest path). Only affected
+    samples re-run the sampler (betweenness.sample_path_increments), whose
+    per-sample choices are seeded hashes of (sample, depth) — so the merged
+    estimate is BIT-IDENTICAL to a cold approx_betweenness run on the
+    folded graph. Multi-edge and node batches fall back to the full
+    re-sample, the reference's own unsupported-shape contract.
+    `last_resampled` records the per-update affected-sample count.
+
+    result: (id, score) over V — score = sampled-path hit fraction."""
+
+    def __init__(
+        self, graph: GraphDF, n_samples: int, seed: int = 42,
+        max_depth: int = 10_000,
+    ):
+        self.r = max(int(n_samples), 1)
+        self.seed = int(seed)
+        self.max_depth = int(max_depth)
+        self.pairs: DataFrame | None = None
+        self.inc: DataFrame | None = None   # (sample, node)
+        self.found: DataFrame | None = None  # (sample, tdepth)
+        self.last_resampled: int | None = None
+        super().__init__(graph)
+
+    def _score_from_inc(self) -> None:
+        score = self.inc.groupBy(F.col("node").alias("id")).agg(
+            (F.count("*") / F.lit(float(self.r))).alias("score")
+        )
+        self.result = (
+            self.graph.V.join(score, "id", "left")
+            .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _solve(self) -> None:
+        from networkit_spark.operators.betweenness import (
+            sample_pairs,
+            sample_path_increments,
+        )
+
+        spark = self.graph.V.sparkSession
+        if self.graph.number_of_nodes() < 2:
+            self.pairs = spark.createDataFrame([], "sample long, u long, v long")
+            self.inc = spark.createDataFrame([], "sample long, node long")
+            self.found = spark.createDataFrame([], "sample long, tdepth int")
+            self.last_resampled = 0
+            self._score_from_inc()
+            return
+        self.pairs = sample_pairs(self.graph, self.r, self.seed)
+        self.inc, self.found = sample_path_increments(
+            self.graph, self.pairs, self.seed, self.max_depth
+        )
+        self.found = self.found.localCheckpoint(eager=True)
+        self.last_resampled = self.r
+        self._score_from_inc()
+
+    def _affected_samples(
+        self, old_graph: GraphDF, u0: int, v0: int, removal: bool
+    ) -> DataFrame:
+        """(sample, u, v) rows whose sampled path must be re-drawn."""
+        dists = _endpoint_distances(old_graph, u0, v0)
+        # reverse distances TO the endpoints serve the sample SOURCES; on
+        # undirected graphs the same table serves the TARGETS (d symmetric).
+        # Directed targets need FORWARD distances FROM the endpoints.
+        if old_graph.directed:
+            from networkit_spark.operators.bfs import bfs_distances
+
+            fwd = bfs_distances(old_graph, [u0, v0])
+            fu = fwd.filter(F.col("source") == u0).select(
+                "id", F.col("dist").alias("f_u0")
+            )
+            fv = fwd.filter(F.col("source") == v0).select(
+                "id", F.col("dist").alias("f_v0")
+            )
+            tgt = (
+                old_graph.V.select("id")
+                .join(fu, "id", "left")
+                .join(fv, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("f_u0", F.lit(_INF)).alias("f_u0"),
+                    F.coalesce("f_v0", F.lit(_INF)).alias("f_v0"),
+                )
+            )
+        else:
+            tgt = dists.select(
+                "id",
+                F.col("d_u0").alias("f_u0"),
+                F.col("d_v0").alias("f_v0"),
+            )
+        src_d = dists.select(
+            F.col("id").alias("u"),
+            F.col("d_u0").alias("su0"),
+            F.col("d_v0").alias("sv0"),
+        )
+        tgt_d = tgt.select(
+            F.col("id").alias("v"),
+            F.col("f_u0").alias("tu0"),
+            F.col("f_v0").alias("tv0"),
+        )
+        cur = self.found.select("sample", F.col("tdepth").alias("dcur"))
+        p = (
+            self.pairs.join(src_d, "u")
+            .join(tgt_d, "v")
+            .join(cur, "sample", "left")
+            .withColumn("dcur", F.coalesce("dcur", F.lit(_INF)))
+        )
+        # length of the best old path routed THROUGH the edge
+        via = F.col("su0") + 1 + F.col("tv0")
+        if not old_graph.directed:
+            via = F.least(via, F.col("sv0") + 1 + F.col("tu0"))
+        finite = via < F.lit(_INF)
+        if removal:
+            cond = finite & (via == F.col("dcur"))
+        else:
+            cond = finite & (via <= F.col("dcur"))
+        return p.filter(cond).select("sample", "u", "v").localCheckpoint(
+            eager=True
+        )
+
+    def _update_incremental(self, old_graph, events, types) -> bool:
+        from networkit_spark.operators.betweenness import sample_path_increments
+
+        weight_only = {"EDGE_WEIGHT_UPDATE", "EDGE_WEIGHT_INCREMENT"}
+        if types <= weight_only:
+            self.last_resampled = 0
+            return True  # hop-count sampler ignores weights
+        if not types <= ({"EDGE_ADDITION", "EDGE_REMOVAL"} | weight_only):
+            return False  # node events change the pair table itself
+        has_add = "EDGE_ADDITION" in types
+        has_rem = "EDGE_REMOVAL" in types
+        if has_add and has_rem:
+            return False
+        etype = "EDGE_ADDITION" if has_add else "EDGE_REMOVAL"
+        edge = _single_new_edge(events, etype, old_graph)
+        if edge is None:
+            batch = _canonical_batch_edges(events, etype, old_graph.directed)
+            old_e = old_graph.E
+            if not old_graph.directed:
+                old_e = old_e.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+            how = "left_anti" if has_add else "left_semi"
+            if batch.join(old_e.distinct(), ["src", "dst"], how).isEmpty():
+                self.last_resampled = 0
+                return True  # duplicate adds / phantom removes: no-op
+            return False  # >1 novel edge: affected sets interact
+        u0, v0 = edge
+        aff = self._affected_samples(old_graph, u0, v0, removal=has_rem)
+        n_aff = aff.count()
+        self.last_resampled = n_aff
+        if n_aff == 0:
+            return True
+        new_inc, new_found = sample_path_increments(
+            self.graph, aff, self.seed, self.max_depth
+        )
+        aff_ids = aff.select("sample")
+        self.inc = (
+            self.inc.join(aff_ids, "sample", "left_anti")
+            .unionByName(new_inc)
+            .localCheckpoint(eager=True)
+        )
+        self.found = (
+            self.found.join(aff_ids, "sample", "left_anti")
+            .unionByName(new_found)
+            .localCheckpoint(eager=True)
+        )
+        self._score_from_inc()
+        return True

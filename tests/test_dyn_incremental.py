@@ -333,3 +333,119 @@ def test_dyn_betweenness_one_node_tracks_inserts(spark):
     )
     want1 = {r["id"]: r["score"] for r in betweenness(g2).collect()}[x]
     assert abs(dyn.score() - want1) < 1e-9
+
+
+def test_dyn_betweenness_one_node_resweeps_only_affected_ball(spark):
+    """Two disconnected 4-cliques; an insert inside clique A must not
+    re-sweep any clique-B source (supersteps ∝ affected ball, not |V|)."""
+    from itertools import combinations
+
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.operators.dynamics import DynBetweennessOneNode
+
+    a = list(combinations(range(4), 2))
+    b = list(combinations(range(10, 14), 2))
+    # drop one clique-A edge so there's something novel to insert
+    edges = [e for e in a if e != (0, 1)] + b
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=14)
+    x = 2
+    dyn = DynBetweennessOneNode(g, x)
+    assert dyn.last_resweep_sources == 14  # cold solve sweeps everything
+
+    dyn.update(events_from_list(spark, [(0, "EDGE_ADDITION", 0, 1, 1.0)]))
+    # only sources with |d(s,0) - d(s,1)| >= 1 are re-swept: exactly {0, 1}
+    # (other clique-A nodes sit at distance 1 from both; clique B reaches
+    # neither endpoint)
+    assert dyn.last_resweep_sources == 2
+    g2 = GraphDF.from_edge_list(spark, a + b, num_nodes=14)
+    want = {r["id"]: r["score"] for r in betweenness(g2).collect()}[x]
+    assert abs(dyn.score() - want) < 1e-9
+
+    # duplicate insertion is a no-op with zero re-sweeps
+    dyn.update(events_from_list(spark, [(0, "EDGE_ADDITION", 0, 1, 1.0)]))
+    assert dyn.last_resweep_sources == 0
+    assert abs(dyn.score() - want) < 1e-9
+
+
+def test_dyn_betweenness_one_node_directed_insert(spark):
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.operators.dynamics import DynBetweennessOneNode
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 3)]
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=6, directed=True)
+    x = 2
+    dyn = DynBetweennessOneNode(g, x)
+    dyn.update(events_from_list(spark, [(0, "EDGE_ADDITION", 4, 0, 1.0)]))
+    g2 = GraphDF.from_edge_list(
+        spark, edges + [(4, 0)], num_nodes=6, directed=True
+    )
+    want = {r["id"]: r["score"] for r in betweenness(g2).collect()}[x]
+    assert abs(dyn.score() - want) < 1e-9
+    assert dyn.last_resweep_sources < 6  # source 0 sees no shorter route
+
+
+def test_dyn_approx_betweenness_insert_remove_parity(spark):
+    """Bit-identical to a cold approx_betweenness run on the folded graph
+    across an insert then a remove (per-sample seeded determinism)."""
+    from networkit_spark.operators.betweenness import approx_betweenness
+    from networkit_spark.operators.dynamics import DynApproxBetweenness
+    from tests.fixtures import KARATE_EDGES, KARATE_N
+
+    r, seed = 150, 7
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    dyn = DynApproxBetweenness(g, n_samples=r, seed=seed)
+    want0 = {
+        row["id"]: row["score"]
+        for row in approx_betweenness(g, n_samples=r, seed=seed).collect()
+    }
+    got0 = {row["id"]: row["score"] for row in dyn.result.collect()}
+    assert got0 == want0
+
+    dyn.update(events_from_list(spark, [(0, "EDGE_ADDITION", 16, 26, 1.0)]))
+    g2 = GraphDF.from_edge_list(
+        spark, KARATE_EDGES + [(16, 26)], num_nodes=KARATE_N
+    )
+    want1 = {
+        row["id"]: row["score"]
+        for row in approx_betweenness(g2, n_samples=r, seed=seed).collect()
+    }
+    got1 = {row["id"]: row["score"] for row in dyn.result.collect()}
+    assert got1 == want1
+    assert 0 < dyn.last_resampled <= r
+
+    dyn.update(events_from_list(spark, [(0, "EDGE_REMOVAL", 16, 26, 1.0)]))
+    got2 = {row["id"]: row["score"] for row in dyn.result.collect()}
+    assert got2 == want0  # back to the original graph exactly
+
+
+def test_dyn_approx_betweenness_prunes_untouched_component(spark):
+    """Insert inside one of two disconnected cliques: samples whose pair
+    lives entirely in the other component are never re-drawn."""
+    from itertools import combinations
+
+    from networkit_spark.operators.betweenness import approx_betweenness
+    from networkit_spark.operators.dynamics import DynApproxBetweenness
+
+    a = list(combinations(range(5), 2))
+    b = list(combinations(range(10, 15), 2))
+    edges = [e for e in a if e != (0, 1)] + b
+    g = GraphDF.from_edge_list(spark, edges, num_nodes=15)
+    r, seed = 120, 11
+    dyn = DynApproxBetweenness(g, n_samples=r, seed=seed)
+    dyn.update(events_from_list(spark, [(0, "EDGE_ADDITION", 0, 1, 1.0)]))
+    # cross-component and B-internal pairs can't route through (0, 1)
+    assert dyn.last_resampled < r
+    g2 = GraphDF.from_edge_list(spark, a + b, num_nodes=15)
+    want = {
+        row["id"]: row["score"]
+        for row in approx_betweenness(g2, n_samples=r, seed=seed).collect()
+    }
+    got = {row["id"]: row["score"] for row in dyn.result.collect()}
+    assert got == want
+
+    # weight updates never touch the hop-count sampler
+    dyn.update(
+        events_from_list(spark, [(0, "EDGE_WEIGHT_UPDATE", 0, 1, 2.0)])
+    )
+    assert dyn.last_resampled == 0
+    assert {row["id"]: row["score"] for row in dyn.result.collect()} == want

@@ -87,7 +87,14 @@ def main():
         # the default everywhere; the knob remains for fixed-cost-dominated
         # regimes (tiny per-superstep state on a large cluster)
         pr_te = int(os.environ.get("BENCH_PR_TRUNCATE_EVERY", "1"))
-        pagerank_fixed(g_cs, iterations=pr_iters, truncate_every=pr_te).count()
+        # BENCH_PR_BROADCAST=1 broadcasts the |V| rank vector into the edge
+        # join (pagerank.py broadcast_rank) — measured at sf0.1 per VERDICT
+        # r3 #7; the recorded winner is the default (BENCH/BASELINE.md).
+        pr_bc_env = os.environ.get("BENCH_PR_BROADCAST")
+        pr_bc = None if pr_bc_env is None else pr_bc_env == "1"
+        pagerank_fixed(
+            g_cs, iterations=pr_iters, truncate_every=pr_te, broadcast_rank=pr_bc
+        ).count()
         dt = time.time() - t0
         timings["pagerank_cs"] = round(dt, 3)
         throughput["pagerank_cs"] = {

@@ -3,12 +3,18 @@ between N and 4N executors, evidenced by the same jobs at N and 4N local
 cores on the same input, same seed — the sandbox analog of the reference's
 strongScaling harness, networkit/engineering.pyx:96-127).
 
-Three jobs spanning the engine's workload classes:
+Six jobs spanning the engine's workload classes:
   * pagerank   — iterative shuffle-bound superstep (co-partitioned sorted
                  edge cache; only the |V| rank vector moves per superstep)
   * triangles  — one-shot compute-heavy self-join (oriented wedge join)
   * knn        — Arrow/numpy GEMM via mapInPandas (pure compute, pinned
                  single-thread BLAS per worker)
+  * wcc        — hash-min + pointer-jumping fixpoint (variable superstep
+                 count, convergence scans on the carried-old column)
+  * plp        — synchronous label propagation, struct-min winner agg on a
+                 skewed RMAT graph (the skew-safe agg is the point)
+  * scc        — CFP random-pivot fixpoint (nested fixpoint: forward/
+                 backward closures inside an outer peeling loop)
 
 Each parallelism level runs in its own subprocess (fresh JVM). The headline
 N→4N pair is 2→8 cores — within the 32-core machine's parallel headroom.
@@ -117,6 +123,91 @@ spark.stop()
 """
 
 
+WCC_JOB = COMMON + r"""
+scale = int(sys.argv[2]); ef = int(sys.argv[3])
+n = 1 << scale; m = n * ef
+# uniform random graph treated undirected: low diameter, so the fixpoint
+# is a handful of hash-min sweeps + pointer jumping — the superstep count
+# is identical at every parallelism level (same input, same seed)
+df = spark.range(m)
+e = df.select(
+    F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
+    F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
+).filter("src != dst").withColumn("weight", F.lit(1.0))
+e = e.localCheckpoint(eager=True)
+v = spark.range(n).select(F.col("id")).localCheckpoint(eager=True)
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.components import weakly_connected_components
+g = GraphDF(v, e, directed=True, weighted=False)
+secs = []
+for _ in range(3):
+    t0 = time.time()
+    weakly_connected_components(g).count()
+    secs.append(time.time() - t0)
+dt = statistics.median(secs[1:])
+print(json.dumps({"job": "wcc", "cores": cores, "edges": m,
+                  "median_sec": round(dt, 2),
+                  "all_sec": [round(s, 2) for s in secs],
+                  "throughput": round(m / dt, 1), "unit": "edges/s"}))
+spark.stop()
+"""
+
+PLP_JOB = COMMON + r"""
+scale = int(sys.argv[2]); ef = int(sys.argv[3]); sweeps = 4
+from networkit_spark.sources.generators import rmat
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.plp import plp_fixed
+# RMAT: power-law degrees — exercises the struct-min winner agg under the
+# hub skew it was designed for (a per-dst window would straggle here)
+g0 = rmat(spark, scale, ef, dedup=True, directed=False)
+e = g0.E.localCheckpoint(eager=True); v = g0.V.localCheckpoint(eager=True)
+g = GraphDF(v, e, directed=False, weighted=True)
+m = g.E.count()
+secs = []
+for _ in range(3):
+    t0 = time.time()
+    plp_fixed(g, iterations=sweeps).count()
+    secs.append(time.time() - t0)
+dt = statistics.median(secs[1:])
+print(json.dumps({"job": "plp", "cores": cores, "edges": m,
+                  "median_sec": round(dt, 2),
+                  "all_sec": [round(s, 2) for s in secs],
+                  "throughput": round(m * sweeps / dt, 1),
+                  "unit": "edges/s/sweep"}))
+spark.stop()
+"""
+
+SCC_JOB = COMMON + r"""
+scale = int(sys.argv[2]); ef = int(sys.argv[3])
+n = 1 << scale; m = n * ef
+# uniform random DIGRAPH, mean out-degree ef > 1: one giant SCC plus a
+# tail of trivial ones — the standard CFP workload shape
+df = spark.range(m)
+e = df.select(
+    F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
+    F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
+).filter("src != dst").withColumn("weight", F.lit(1.0))
+e = e.localCheckpoint(eager=True)
+v = spark.range(n).select(F.col("id")).localCheckpoint(eager=True)
+from networkit_spark.graph import GraphDF
+from networkit_spark.operators.components import strongly_connected_components
+g = GraphDF(v, e, directed=True, weighted=False)
+# 4 trials: the nested fixpoint's many small supersteps make single-trial
+# noise ~2x (GC/scheduling), so median of the last 3
+secs = []
+for _ in range(4):
+    t0 = time.time()
+    strongly_connected_components(g).count()
+    secs.append(time.time() - t0)
+dt = statistics.median(secs[1:])
+print(json.dumps({"job": "scc", "cores": cores, "edges": m,
+                  "median_sec": round(dt, 2),
+                  "all_sec": [round(s, 2) for s in secs],
+                  "throughput": round(m / dt, 1), "unit": "edges/s"}))
+spark.stop()
+"""
+
+
 def run(script: str, args: list[str], env=None) -> dict:
     e = dict(os.environ)
     e.update(env or {})
@@ -153,6 +244,21 @@ def main():
             ["1000000" if quick else "2000000", "256" if quick else "512"],
             {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
              "MKL_NUM_THREADS": "1"},
+        ),
+        "wcc": (
+            WCC_JOB,
+            ["19" if quick else "20", "8"],
+            {},
+        ),
+        "plp": (
+            PLP_JOB,
+            ["17" if quick else "18", "8"],
+            {},
+        ),
+        "scc": (
+            SCC_JOB,
+            ["16" if quick else "17", "4"],
+            {},
         ),
     }
     if only:

@@ -67,7 +67,11 @@ from networkit_spark.graph import GraphDF
 from networkit_spark.operators.pagerank import pagerank_fixed
 g = GraphDF(v, e, directed=True, weighted=False)
 stats = {}
-pagerank_fixed(g, iterations=iters + 2, stats=stats).count()
+# broadcast_rank=False pins the co-partitioned shuffle-join plan: this job
+# evidences the |V|-does-not-fit-per-executor regime (the 100 TB shape);
+# the broadcast small-|V| fast path is measured separately (BASELINE.md)
+pagerank_fixed(g, iterations=iters + 2, stats=stats,
+               broadcast_rank=False).count()
 secs = stats["iter_secs"][2:]
 med = statistics.median(secs)
 print(json.dumps({"job": "pagerank", "cores": cores, "edges": stats["edges"],

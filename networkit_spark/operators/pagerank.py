@@ -107,10 +107,15 @@ def pagerank(
     edges = edges.repartition("src").sortWithinPartitions("src").persist()
     m = edges.count()  # materialize once; loop never recomputes degrees
     if broadcast_rank is None:
-        # conservative default: the shuffle join is steadier in local mode
-        # (broadcast rebuilds each superstep showed GC spikes); on a real
-        # cluster with small |V| relative to executors, turn this on
-        broadcast_rank = False
+        # MEASURED at sf0.1 local[32] (586k vertices, 20 supersteps, fresh
+        # JVM per run, 1 warmup + 3 trials): broadcast medians 17.5s vs
+        # shuffle-join 23.4s (-25%, and tighter spread — the feared
+        # per-superstep broadcast-rebuild GC spikes did not materialize).
+        # Auto-broadcast while the vertex state fits comfortably in an
+        # executor (~4M rows ≈ 64MB); beyond that the co-partitioned
+        # shuffle join is the scale path (only |V| rows move per superstep
+        # against the pre-partitioned sorted edge cache).
+        broadcast_rank = n <= 4_000_000
     if stats is not None:
         stats["edges"] = m
         stats.setdefault("iter_secs", [])

@@ -801,23 +801,39 @@ def q_shard_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates — xxhash64-based, so no SQL oracle
-    (rows-only check); exactness is covered by pytest vs the exact
-    ngram-jaccard operator."""
+    """MinHash+LSH near-dup candidates, md5-hash variant: md5 is
+    bit-identical in Spark and DuckDB, so the full pipeline (shingle →
+    affine-permutation minhash → band fold → bucket join → signature
+    agreement) gets an exact value oracle. The xxhash64 variant (library
+    default) is plan-identical — only the hash leaf differs."""
     from networkit_spark.functions.dedup import minhash_lsh_candidates
 
     docs = tg.load(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        docs, num_hashes=32, bands=8, shingle_k=3
-    ).orderBy("id_a", "id_b")
+    return (
+        minhash_lsh_candidates(
+            docs, num_hashes=32, bands=8, shingle_k=3, hash_fn="md5"
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "est_jaccard",
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints — xxhash64-based, rows-only check."""
+    """SimHash fingerprints, md5-hash 32-bit variant (full value oracle —
+    see q_minhash_lsh_documents); the xxhash64/64-bit variant is the
+    library default with the identical aggregation plan."""
     from networkit_spark.functions.dedup import simhash
 
     docs = tg.load(spark, sf_dir, "documents")
-    return simhash(docs).orderBy("id")
+    return (
+        simhash(docs, bits=32, hash_fn="md5")
+        .select(F.col("id").cast("long").alias("id"), "simhash")
+        .orderBy("id")
+    )
 
 
 def q_knn_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2338,6 +2354,106 @@ edges AS (
 """
 
 
+# cross-engine md5-derived 32-bit hash (functions/dedup.py md5_hash32):
+# integer value of the first 8 hex chars of md5(x) — md5 renders the same
+# lowercase hex in Spark and DuckDB, verified bit-identical
+_MD5H = (
+    "list_reduce(list_transform(range(1, 9),\n"
+    "      i -> strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1),\n"
+    "      (a, b) -> a * 16 + b)"
+)
+
+
+def _minhash_sql() -> str:
+    """DuckDB twin of q_minhash_lsh_documents: md5-hash minhash with the
+    same affine-permutation constants, band fold, bucket join, and
+    signature-agreement estimate."""
+    from networkit_spark.functions.dedup import affine_perm_constants
+
+    P = 2147483647
+    consts = affine_perm_constants(32)
+    sig_cols = ",\n    ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS h{j}" for j, (a, b) in enumerate(consts)
+    )
+
+    def fold(b: int) -> str:
+        expr = "0"
+        for r in range(4):
+            expr = f"(({expr}) * 1000003 + h{4 * b + r}) % {1 << 40}"
+        return expr
+
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, {fold(b)} AS bucket FROM sig"
+        for b in range(8)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+    unnest(list_transform(range(0, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS s
+  FROM toks
+),
+hs AS (
+  SELECT id, {_MD5H.format(x='s')} % {P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT id,
+    {sig_cols}
+  FROM hs GROUP BY id
+),
+banded AS (
+{band_rows}
+),
+prs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  ROUND(CAST({matches} AS DOUBLE) / 32, 6) AS est_jaccard
+FROM prs JOIN sig sa ON sa.id = prs.id_a JOIN sig sb ON sb.id = prs.id_b
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of q_simhash_documents: per-bit majority vote over
+    md5-hashed whitespace tokens, 32 bits."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+hh AS (
+  SELECT id, {_MD5H.format(x='tok')} AS h
+  FROM toks
+),
+votes AS (
+  SELECT id,
+    {votes}
+  FROM hh GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST({assemble} AS BIGINT) AS simhash
+FROM votes ORDER BY id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {k: _mat(v) for k, v in _oracle_sql_raw().items()}
 
@@ -3049,6 +3165,8 @@ SELECT d.doc_id AS id,
 FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
 ORDER BY id
 """,
+        "minhash_lsh_documents": _minhash_sql(),
+        "simhash_documents": _simhash_sql(),
         "stratified_sample_documents": f"""
 SELECT CAST(doc_id AS BIGINT) AS id, lang
 FROM (
@@ -3259,6 +3377,7 @@ def _assemble_oracles(base: dict[str, str]) -> dict[str, str]:
         "kcore_supplier_co", "transcripts_table", "pagerank_transcripts",
         "wcc_customer_supplier", "plp_supplier_co", "dedup_exact_documents",
         "ngram_jaccard_documents", "near_dup_survivors_documents",
+        "minhash_lsh_documents", "simhash_documents",
         "stratified_sample_documents", "shard_pack_documents",
         "events_sessions", "windowed_events", "top_harmonic_supplier",
         "katz_customer_supplier", "gedwalk_score_supplier",

@@ -31,6 +31,38 @@ def exact_duplicates(
     )
 
 
+_MERSENNE31 = 2147483647  # 2^31 - 1
+_BAND_MOD = 1 << 40
+_BAND_MUL = 1000003
+
+
+def md5_hash32(col) -> "F.Column":
+    """Cross-engine 32-bit string hash: integer value of the first 8 hex
+    chars of md5(col). md5 returns the same lowercase hex in Spark and
+    DuckDB, so operators built on this hash admit exact DuckDB oracles
+    (CLAUDE.md rule 9's cross-engine-determinism requirement, with md5's
+    avalanche instead of a weak LCG). DuckDB twin:
+      list_reduce(list_transform(range(1, 9),
+        i -> strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1),
+        (a, b) -> a * 16 + b)
+    Verified bit-identical across both engines (tests/test_dedup.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def affine_perm_constants(num_hashes: int) -> list:
+    """Deterministic (a_j, b_j) pairs for the universal affine permutation
+    family h_j(x) = (a_j*x + b_j) mod (2^31 - 1), derived from the repo's
+    standard LCG so the DuckDB oracle generator embeds identical literals."""
+    consts = []
+    s = 1
+    for _ in range(num_hashes):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        a = (s | 1) % _MERSENNE31
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        consts.append((a or 1, s % _MERSENNE31))
+    return consts
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
     """(id, shingle): distinct k-token shingles per doc, via built-in
     split + transform over token index — no Python UDF."""
@@ -52,16 +84,35 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>): minhash signature; permutation j is
-    min(xxhash64(shingle, j)) — seeded hashes, fully deterministic."""
+    min(xxhash64(shingle, j)) — seeded hashes, fully deterministic.
+
+    hash_fn="md5": permutation j is min((a_j*H + b_j) mod 2^31-1) over
+    H = md5_hash32(shingle) — same estimator, but every step is computable
+    in DuckDB too, so the driver query gets a full value oracle instead of
+    a rows-only check. xxhash64 stays the production default (one JVM hash
+    per permutation vs md5's 128-bit digest; both are column expressions)."""
     sh = shingles(df, text_col, id_col, k=shingle_k)
-    mins = sh.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
-    )
+    if hash_fn == "md5":
+        consts = affine_perm_constants(num_hashes)
+        base = sh.withColumn("_h", md5_hash32(F.col("shingle")) % _MERSENNE31)
+        mins = base.groupBy("id").agg(
+            *[
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % _MERSENNE31).alias(
+                    f"h{j}"
+                )
+                for j, (a, b) in enumerate(consts)
+            ]
+        )
+    else:
+        mins = sh.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}")
+                for j in range(num_hashes)
+            ]
+        )
     return mins.select(
         "id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
     )
@@ -75,6 +126,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     max_bucket_size: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard): near-dup candidate pairs sharing ≥1 LSH
     band; est_jaccard = matching signature fraction. The band groupBy keys
@@ -85,26 +137,36 @@ def minhash_lsh_candidates(
     cap keep only their `max_bucket_size` smallest ids (those documents are
     mutual near-dups anyway — the survivor set still links every capped
     bucket into one dedup cluster via the kept representatives)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn=hash_fn
+    ).persist()
     rows_per_band = num_hashes // bands
+
+    def band_key(b):
+        if hash_fn == "md5":
+            # arithmetic fold mod 2^40 — identical in DuckDB, so the
+            # oracle reproduces bucket ids exactly (any fold collision is
+            # the same collision on both engines). acc*MUL + v stays
+            # under 2^61, no overflow.
+            acc = F.lit(0).cast("long")
+            for r in range(rows_per_band):
+                acc = (acc * F.lit(_BAND_MUL) + F.col("sig")[b * rows_per_band + r]) % F.lit(_BAND_MOD)
+            return acc
+        return F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     if max_bucket_size is not None:
         # Two-stage salted top-k (same machinery as sampling.py's
@@ -162,18 +224,29 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash): 64-bit SimHash over whitespace tokens. Per-bit
     majority vote of xxhash64(token) — expressed as aggregate over exploded
-    tokens with bitwise built-ins (shiftright/bitwiseAND), no Python."""
+    tokens with bitwise built-ins (shiftright/bitwiseAND), no Python.
+
+    hash_fn="md5": token hash = md5_hash32 (32 usable bits, so pass
+    bits<=32) — every step DuckDB-expressible, giving the driver query a
+    full value oracle. xxhash64/64-bit stays the production default."""
+    if hash_fn == "md5" and bits > 32:
+        raise ValueError("md5 token hash provides 32 bits; pass bits<=32")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
         ).alias("tok"),
     )
-    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    tok_hash = md5_hash32(F.col("tok")) if hash_fn == "md5" else F.xxhash64("tok")
+    h = toks.select("id", tok_hash.alias("h"))
     votes = h.groupBy("id").agg(
         *[
             (

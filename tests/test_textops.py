@@ -107,6 +107,56 @@ def test_simhash_similarity(spark):
     assert hamming(h[0], h[2]) < hamming(h[0], h[4])
 
 
+def test_md5_hash32_matches_duckdb(spark):
+    """The md5-derived 32-bit hash (functions/dedup.py md5_hash32) is the
+    cross-engine determinism primitive behind the minhash/simhash value
+    oracles — pin Spark ≡ DuckDB bit-identity on representative strings."""
+    import duckdb
+
+    from networkit_spark.functions.dedup import md5_hash32
+
+    strs = ["hello world", "", "a", "the quick brown fox", "ünïcode té xt", "1 2 3"]
+    sdf = spark.createDataFrame([(s,) for s in strs], ["s"])
+    got = {r["s"]: r["h"] for r in sdf.select("s", md5_hash32(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in strs:
+        (want,) = con.execute(
+            "SELECT list_reduce(list_transform(range(1, 9), "
+            "i -> strpos('0123456789abcdef', substr(md5(?), i, 1)) - 1), "
+            "(a, b) -> a * 16 + b)",
+            [s],
+        ).fetchone()
+        assert got[s] == want, s
+
+
+def test_minhash_simhash_md5_variants(spark):
+    """hash_fn='md5' keeps the estimator semantics: identical docs get
+    identical signatures/fingerprints, near-dups rank above non-dups."""
+    docs = _docs(spark)
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, shingle_k=2, hash_fn="md5"
+        ).collect()
+    }
+    assert cands[(0, 1)] == 1.0
+    assert (0, 4) not in cands or cands[(0, 4)] < 0.5
+
+    h = {r["id"]: r["simhash"] for r in simhash(docs, bits=32, hash_fn="md5").collect()}
+    assert h[0] == h[1]
+    assert all(0 <= v < (1 << 32) for v in h.values())
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[0], h[2]) < hamming(h[0], h[4])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash(docs, bits=64, hash_fn="md5")
+
+
 def test_text_stats_and_quality(spark):
     docs = _docs(spark)
     st = {r["doc_id"]: r for r in text_stats(docs).collect()}

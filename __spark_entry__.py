@@ -50,6 +50,8 @@ SESSION_GAP_S = 1800
 NGRAM_THRESHOLD = 0.2
 STRATA_K = 20  # stratified sample quota per language
 SAMPLE_SEED = 77
+LUBY_ROUNDS = 12  # fixed Luby rounds (driver convention: unrollable oracle)
+LUBY_SEED = 42
 SHARD_TOKENS = 2000  # token budget per training shard
 LSH_PLANES = 4
 LSH_SEED = 42
@@ -944,13 +946,24 @@ def q_msf_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(g).orderBy("src", "dst")
 
 
-def q_luby_mis_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Luby maximal independent set (seeded, deterministic) — rows-only."""
+def q_luby_mis_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set, LCG-priority variant on the sparse
+    customer→supplier graph — pure-integer per-round priorities make every
+    round DuckDB-reproducible, so the fixed LUBY_ROUNDS unroll is a full
+    value oracle (the old supplier co-graph fixture was complete ⇒ MIS
+    size 1, a degenerate check; the xxhash64 variant remains the library
+    default, pytest-covered for independence + maximality)."""
     from networkit_spark.operators.misc import luby_independent_set
 
     tune_for_iteration(spark)
-    g = tg.supplier_co_graph(spark, sf_dir)
-    return luby_independent_set(g).orderBy("id")
+    g = tg.customer_supplier_graph(spark, sf_dir)
+    return (
+        luby_independent_set(
+            g, seed=LUBY_SEED, max_rounds=LUBY_ROUNDS, hash_fn="lcg"
+        )
+        .select(F.col("id").cast("long").alias("id"))
+        .orderBy("id")
+    )
 
 
 def q_permanence_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,7 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only by declared design (nondeterministic reference)
         "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
-        "luby_mis_supplier": q_luby_mis_supplier,
+        "luby_mis_cs": q_luby_mis_cs,
     }
 
 
@@ -2454,6 +2467,65 @@ FROM votes ORDER BY id
 """
 
 
+def _luby_sql() -> str:
+    """DuckDB twin of q_luby_mis_cs: Luby's MIS unrolled LUBY_ROUNDS times
+    over the symmetrized customer→supplier edges, LCG priorities identical
+    to operators/misc.py luby_independent_set(hash_fn='lcg')."""
+    M = 1 << 31
+
+    def pri(col: str, r: int) -> str:
+        return (
+            f"(((({col} * 1103515245 + {12345 + LUBY_SEED}) % {M}) + {r})"
+            f" * 1103515245 + 12345) % {M}"
+        )
+
+    ctes = [
+        tg.CS_EDGES_CTE.strip(),
+        """sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst
+)""",
+        "alive0 AS (SELECT DISTINCT src AS id FROM sym)",
+    ]
+    for r in range(LUBY_ROUNDS):
+        pa, pb = pri("a.id", r), pri("b.id", r)
+        ctes.append(
+            f"""win{r} AS (
+  SELECT a.id FROM alive{r} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym e JOIN alive{r} b ON e.dst = b.id
+    WHERE e.src = a.id
+      AND (({pb}) < ({pa}) OR (({pb}) = ({pa}) AND b.id < a.id))
+  )
+)"""
+        )
+        ctes.append(
+            f"""nbr{r} AS (
+  SELECT DISTINCT e.dst AS id FROM sym e JOIN win{r} w ON e.src = w.id
+)"""
+        )
+        ctes.append(
+            f"""alive{r + 1} AS (
+  SELECT id FROM alive{r}
+  WHERE id NOT IN (SELECT id FROM win{r})
+    AND id NOT IN (SELECT id FROM nbr{r})
+)"""
+        )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT id FROM win{r}" for r in range(LUBY_ROUNDS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id FROM (
+{union}
+) ORDER BY id
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {k: _mat(v) for k, v in _oracle_sql_raw().items()}
 
@@ -3167,6 +3239,7 @@ ORDER BY id
 """,
         "minhash_lsh_documents": _minhash_sql(),
         "simhash_documents": _simhash_sql(),
+        "luby_mis_cs": _luby_sql(),
         "stratified_sample_documents": f"""
 SELECT CAST(doc_id AS BIGINT) AS id, lang
 FROM (
@@ -3377,7 +3450,7 @@ def _assemble_oracles(base: dict[str, str]) -> dict[str, str]:
         "kcore_supplier_co", "transcripts_table", "pagerank_transcripts",
         "wcc_customer_supplier", "plp_supplier_co", "dedup_exact_documents",
         "ngram_jaccard_documents", "near_dup_survivors_documents",
-        "minhash_lsh_documents", "simhash_documents",
+        "minhash_lsh_documents", "simhash_documents", "luby_mis_cs",
         "stratified_sample_documents", "shard_pack_documents",
         "events_sessions", "windowed_events", "top_harmonic_supplier",
         "katz_customer_supplier", "gedwalk_score_supplier",

@@ -172,10 +172,20 @@ def minimum_spanning_forest(
     return chosen if chosen is not None else e.limit(0)
 
 
-def luby_independent_set(graph: GraphDF, seed: int = 42, max_rounds: int = 64) -> DataFrame:
+def luby_independent_set(
+    graph: GraphDF,
+    seed: int = 42,
+    max_rounds: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Luby's maximal independent set (independentset/Luby.cpp): each round,
     nodes with a seeded-hash priority smaller than all remaining neighbors
-    join the set; their neighbors drop out. Returns (id) of the MIS."""
+    join the set; their neighbors drop out. Returns (id) of the MIS.
+
+    hash_fn="lcg": per-round priority from the repo's standard LCG
+    (CLAUDE.md rule 9) instead of xxhash64 — pure integer arithmetic that
+    DuckDB reproduces exactly, so the driver query gets a full value
+    oracle (the fixed-round unroll in __spark_entry__)."""
     e = (
         graph.E_sym.filter("src != dst")
         .select("src", "dst")
@@ -186,9 +196,21 @@ def luby_independent_set(graph: GraphDF, seed: int = 42, max_rounds: int = 64) -
     for r in range(max_rounds):
         if alive.limit(1).count() == 0:
             break
-        pri = alive.select(
-            "id", F.xxhash64("id", F.lit(seed), F.lit(r)).alias("p")
-        )
+        if hash_fn == "lcg":
+            s = (F.col("id") * F.lit(1103515245) + F.lit(12345 + seed)) % F.lit(
+                1 << 31
+            )
+            pri = alive.select(
+                "id",
+                (
+                    ((s + F.lit(r)) * F.lit(1103515245) + F.lit(12345))
+                    % F.lit(1 << 31)
+                ).alias("p"),
+            )
+        else:
+            pri = alive.select(
+                "id", F.xxhash64("id", F.lit(seed), F.lit(r)).alias("p")
+            )
         ea = (
             e.join(pri.select(F.col("id").alias("src"), F.col("p").alias("p_src")), "src")
             .join(pri.select(F.col("id").alias("dst"), F.col("p").alias("p_dst")), "dst")

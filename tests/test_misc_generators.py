@@ -73,6 +73,42 @@ def test_luby_mis_is_maximal_independent(spark):
             assert adj[v] & mis
 
 
+def test_luby_mis_lcg_matches_python_simulation(spark):
+    """hash_fn='lcg' pins per-round priorities to the repo's cross-engine
+    LCG (CLAUDE.md rule 9) — exact parity vs a pure-Python round-by-round
+    simulation, so the driver's unrolled DuckDB oracle is checkable."""
+    seed, m = 42, 1 << 31
+    g = GraphDF.from_edge_list(spark, KARATE_EDGES, num_nodes=KARATE_N)
+    got = {r["id"] for r in luby_independent_set(g, seed=seed, hash_fn="lcg").collect()}
+
+    adj = defaultdict(set)
+    for u, v in KARATE_EDGES:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(range(KARATE_N))
+    want = set()
+    r = 0
+    while alive:
+        def pri(x):
+            s = (x * 1103515245 + 12345 + seed) % m
+            return ((s + r) * 1103515245 + 12345) % m
+        winners = {
+            u for u in alive
+            if all(
+                (pri(u), u) < (pri(v), v) for v in adj[u] if v in alive
+            )
+        }
+        want |= winners
+        alive -= winners | {v for w in winners for v in adj[w]}
+        r += 1
+    assert got == want
+    for u in got:
+        assert not (adj[u] & got)
+    for v in range(KARATE_N):
+        if v not in got:
+            assert adj[v] & got
+
+
 def test_local_max_matching_valid(spark):
     g = GraphDF.from_edge_list(
         spark, [(u, v, 1.0 + (u + v) % 5) for u, v in KARATE_EDGES],

@@ -52,6 +52,8 @@ STRATA_K = 20  # stratified sample quota per language
 SAMPLE_SEED = 77
 LUBY_ROUNDS = 12  # fixed Luby rounds (driver convention: unrollable oracle)
 LUBY_SEED = 42
+MSF_CLOSURE_STEPS = 8  # minimax doubling: covers paths of 2^8 edges (|V|=100 @ sf0.01)
+PLM_MOVE_SWEEPS = 4  # fixed Louvain move-phase sweeps (unrollable oracle)
 SHARD_TOKENS = 2000  # token budget per training shard
 LSH_PLANES = 4
 LSH_SEED = 42
@@ -936,14 +938,45 @@ def q_plm_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plm(g).orderBy("id")
 
 
+def q_plm_move_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain local-moving phase (the modularity-gain heart of PLM,
+    PLM.cpp:24) — fixed synchronous sweeps, LCG half-node conflict
+    breaker. Integer-valued edge weights make every gain a bit-exact
+    double, so the sweep unrolls to a full DuckDB value oracle
+    (_plm_move_sql); the full contraction hierarchy stays rows-only
+    (plm_supplier_co)."""
+    from networkit_spark.operators.plm import plm_move_phase
+
+    tune_for_iteration(spark)
+    g = tg.supplier_co_graph(spark, sf_dir)
+    return (
+        plm_move_phase(g, gamma=1.0, max_sweeps=PLM_MOVE_SWEEPS, hash_fn="lcg")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("label").cast("long").alias("label"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_msf_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boruvka minimum spanning forest — rows-only check (validated vs a
+    """Boruvka minimum spanning forest. The (weight, src, dst) tie-break
+    key is unique per edge, so the MSF is UNIQUE — full value oracle via
+    the cut property (minimax-rank closure, _msf_sql; also validated vs a
     Kruskal oracle in pytest)."""
     from networkit_spark.operators.misc import minimum_spanning_forest
 
     tune_for_iteration(spark)
     g = tg.supplier_co_graph(spark, sf_dir)
-    return minimum_spanning_forest(g).orderBy("src", "dst")
+    return (
+        minimum_spanning_forest(g)
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        .orderBy("src", "dst")
+    )
 
 
 def q_luby_mis_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,10 +1490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_paths_conv": q_simple_paths_conv,
         "volume_conv": q_volume_conv,
         "graph_diff_supplier": q_graph_diff_supplier,
-        # -- rows-only by declared design (nondeterministic reference)
-        "plm_supplier_co": q_plm_supplier_co,
         "msf_supplier_co": q_msf_supplier_co,
         "luby_mis_cs": q_luby_mis_cs,
+        "plm_move_supplier_co": q_plm_move_supplier_co,
+        # -- rows-only by declared design (nondeterministic reference)
+        "plm_supplier_co": q_plm_supplier_co,
     }
 
 
@@ -2526,6 +2560,134 @@ SELECT CAST(id AS BIGINT) AS id FROM (
     )
 
 
+def _msf_sql() -> str:
+    """DuckDB twin of q_msf_supplier_co via the cut property: with the
+    unique (weight, src, dst) tie-break key, an edge belongs to the
+    (unique) minimum spanning forest iff its key-rank equals the minimax
+    path rank between its endpoints — no path of strictly-smaller-ranked
+    edges connects them. The minimax closure is computed by doubling:
+    step k covers paths of up to 2^k edges, so MSF_CLOSURE_STEPS=8
+    suffices for the sf0.01 fixture (|V|=100)."""
+    ctes = [
+        tg.SUPPLIER_CO_EDGES_CTE.strip(),
+        """ranked AS (
+  SELECT src, dst, weight,
+         ROW_NUMBER() OVER (ORDER BY weight, src, dst) AS rnk
+  FROM edges
+)""",
+        """m0 AS (
+  SELECT a, b, MIN(rnk) AS r FROM (
+    SELECT src AS a, dst AS b, rnk FROM ranked
+    UNION ALL
+    SELECT dst AS a, src AS b, rnk FROM ranked
+  ) GROUP BY a, b
+)""",
+    ]
+    for k in range(1, MSF_CLOSURE_STEPS + 1):
+        p = k - 1
+        ctes.append(
+            f"""m{k} AS (
+  SELECT a, b, MIN(r) AS r FROM (
+    SELECT a, b, r FROM m{p}
+    UNION ALL
+    SELECT x.a AS a, y.b AS b, GREATEST(x.r, y.r) AS r
+    FROM m{p} x JOIN m{p} y ON x.b = y.a AND x.a <> y.b
+  ) GROUP BY a, b
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+       CAST(e.weight AS DOUBLE) AS weight
+FROM ranked e
+JOIN m{MSF_CLOSURE_STEPS} m ON m.a = e.src AND m.b = e.dst AND m.r = e.rnk
+ORDER BY src, dst
+"""
+    )
+
+
+def _plm_move_sql() -> str:
+    """DuckDB twin of q_plm_move_supplier_co: the Louvain local-moving
+    phase unrolled for PLM_MOVE_SWEEPS synchronous sweeps (operators/
+    plm.py _move_phase, PLM.cpp:24 modularity delta). Every arithmetic
+    step is bit-exact cross-engine: weights are COUNT(*) integers, so
+    w(u,C) sums, volumes and m are exact doubles; the gain expression
+    mirrors Spark's parenthesization; winners pick (max gain, min cand);
+    the LCG half-node conflict breaker (CLAUDE.md rule 9) gates moves."""
+    parts = [
+        tg.SUPPLIER_CO_EDGES_CTE.strip(),
+        """esym AS (SELECT src, dst, weight FROM edges WHERE src != dst
+  UNION ALL SELECT dst, src, weight FROM edges WHERE src != dst
+  UNION ALL SELECT src, dst, weight FROM edges WHERE src = dst)""",
+        "tot AS (SELECT SUM(weight) AS m FROM edges)",
+        """vol AS (SELECT src AS id,
+  SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS vol_u
+  FROM esym GROUP BY src)""",
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for k in range(1, PLM_MOVE_SWEEPS + 1):
+        p, sweep = k - 1, k - 1
+        lcg = (
+            f"((((id * 1103515245 + {12345 + sweep}) % 2147483648)"
+            f" * 1103515245 + 12345) % 2147483648) % 65536 < 32768"
+        )
+        parts.append(
+            f"""cv{k} AS (SELECT l.label AS label, SUM(v.vol_u) AS vol_c
+  FROM l{p} l JOIN vol v ON l.id = v.id GROUP BY l.label)"""
+        )
+        parts.append(
+            f"""u2c{k} AS (SELECT e.dst AS id, r.label AS cand,
+  SUM(e.weight) AS w_uc
+  FROM esym e JOIN l{p} r ON e.src = r.id
+  WHERE e.src != e.dst GROUP BY e.dst, r.label)"""
+        )
+        parts.append(
+            f"""sc{k} AS (
+  SELECT u.id AS id, u.cand AS cand,
+         (u.w_uc - COALESCE(wo.w_uown, CAST(0 AS DOUBLE))) / t.m
+         + ((co.vol_c - v.vol_u) * v.vol_u
+            - (CASE WHEN u.cand = o.label THEN co.vol_c - v.vol_u
+               ELSE cc.vol_c END) * v.vol_u)
+           / (CAST(2 AS DOUBLE) * t.m * t.m) AS gain
+  FROM u2c{k} u
+  JOIN l{p} o ON u.id = o.id
+  JOIN vol v ON u.id = v.id
+  JOIN cv{k} cc ON u.cand = cc.label
+  JOIN cv{k} co ON o.label = co.label
+  LEFT JOIN (SELECT u2.id AS id, u2.w_uc AS w_uown
+             FROM u2c{k} u2 JOIN l{p} o2
+               ON u2.id = o2.id AND u2.cand = o2.label) wo
+    ON u.id = wo.id
+  CROSS JOIN tot t
+)"""
+        )
+        parts.append(
+            f"""w{k} AS (
+  SELECT id, cand AS new_label FROM (
+    SELECT id, cand, gain,
+           ROW_NUMBER() OVER (PARTITION BY id
+             ORDER BY gain DESC, cand ASC) AS rn
+    FROM sc{k})
+  WHERE rn = 1 AND gain > 1e-12 AND {lcg}
+)"""
+        )
+        parts.append(
+            f"""l{k} AS (SELECT p.id, COALESCE(w.new_label, p.label) AS label
+  FROM l{p} p LEFT JOIN w{k} w ON p.id = w.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+FROM l{PLM_MOVE_SWEEPS} ORDER BY id
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {k: _mat(v) for k, v in _oracle_sql_raw().items()}
 
@@ -3240,6 +3402,8 @@ ORDER BY id
         "minhash_lsh_documents": _minhash_sql(),
         "simhash_documents": _simhash_sql(),
         "luby_mis_cs": _luby_sql(),
+        "msf_supplier_co": _msf_sql(),
+        "plm_move_supplier_co": _plm_move_sql(),
         "stratified_sample_documents": f"""
 SELECT CAST(doc_id AS BIGINT) AS id, lang
 FROM (
@@ -3451,6 +3615,7 @@ def _assemble_oracles(base: dict[str, str]) -> dict[str, str]:
         "wcc_customer_supplier", "plp_supplier_co", "dedup_exact_documents",
         "ngram_jaccard_documents", "near_dup_survivors_documents",
         "minhash_lsh_documents", "simhash_documents", "luby_mis_cs",
+        "msf_supplier_co", "plm_move_supplier_co",
         "stratified_sample_documents", "shard_pack_documents",
         "events_sessions", "windowed_events", "top_harmonic_supplier",
         "katz_customer_supplier", "gedwalk_score_supplier",

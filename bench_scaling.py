@@ -254,14 +254,19 @@ def main():
             ["19" if quick else "20", "8"],
             {},
         ),
+        # plp/scc sizes: strong scaling needs enough per-core work that the
+        # ~0.3-0.5s/superstep serial fixed cost (task launch, AQE planning,
+        # checkpoint) is amortized — at scale 18/17 those two jobs were
+        # fixed-cost dominated and reported 0.48/0.37 "efficiency" that was
+        # really Amdahl on the constant term, not a property of the plans
         "plp": (
             PLP_JOB,
-            ["17" if quick else "18", "8"],
+            ["17" if quick else "21", "8"],
             {},
         ),
         "scc": (
             SCC_JOB,
-            ["16" if quick else "17", "4"],
+            ["16" if quick else "19", "8"],
             {},
         ),
     }

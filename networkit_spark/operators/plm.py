@@ -24,14 +24,36 @@ from pyspark.sql import functions as F
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.community import coarsen_by_partition
 
+_LCG_M = 1 << 31
+
+
+def _half_selector(sweep: int, hash_fn: str):
+    """Boolean column: does this node move in this sweep? Half the nodes
+    per sweep, deterministically."""
+    if hash_fn == "lcg":
+        s1 = (F.col("id") * F.lit(1103515245) + F.lit(12345 + sweep)) % F.lit(
+            _LCG_M
+        )
+        s2 = (s1 * F.lit(1103515245) + F.lit(12345)) % F.lit(_LCG_M)
+        # bit 15 of the twice-mixed state (low LCG bits are structured)
+        return (s2 % F.lit(65536)) < F.lit(32768)
+    return F.pmod(F.abs(F.xxhash64("id", F.lit(sweep))), F.lit(2)) == 0
+
 
 def _move_phase(
     graph: GraphDF,
     gamma: float,
     max_sweeps: int,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Synchronous greedy modularity sweeps on one level; returns
-    (id, label)."""
+    (id, label).
+
+    hash_fn selects the deterministic half-of-nodes-per-sweep conflict
+    breaker: "xxhash64" (library default) or "lcg" — two LCG rounds
+    (CLAUDE.md rule 9) with the selector on bit 15, pure integer
+    arithmetic that DuckDB reproduces exactly so the driver's
+    plm_move_supplier_co query gets a full value oracle."""
     e = graph.E_sym.select("src", "dst", "weight")
     e = e.repartition("src").sortWithinPartitions("src").persist()
     e.count()
@@ -122,29 +144,53 @@ def _move_phase(
             # each other's communities simultaneously oscillate (the classic
             # sync-Louvain pathology); a deterministic hash-selected half of
             # the nodes moves per sweep, which provably breaks 2-cycles while
-            # staying reproducible at any parallelism
-            .filter(
-                F.pmod(F.abs(F.xxhash64("id", F.lit(sweep))), F.lit(2)) == 0
+            # staying reproducible at any parallelism. The selector is
+            # applied at move time (not as a filter) so convergence can be
+            # tested on the PRE-selector winner set: "no node has a
+            # positive-gain move" is a true fixpoint (all later sweeps
+            # no-op at any selector phase), whereas "nothing changed this
+            # sweep" can merely mean the selected half had no winners —
+            # breaking there would diverge from a fixed-sweep unroll.
+            .select(
+                "id",
+                F.col("cand").alias("new_label"),
+                _half_selector(sweep, hash_fn).alias("sel"),
             )
-            .select("id", F.col("cand").alias("new_label"))
         )
         joined = labels.join(winner, "id", "left").select(
             "id",
-            F.coalesce("new_label", "label").alias("new"),
-            (F.coalesce("new_label", "label") != F.col("label")).alias("chg"),
+            F.when(F.col("sel"), F.col("new_label"))
+            .otherwise(F.col("label"))
+            .alias("new"),
+            F.col("new_label").isNotNull().alias("had_winner"),
         ).persist()
-        n_changed = int(
-            joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        n_winners = int(
+            joined.agg(F.sum(F.col("had_winner").cast("long"))).collect()[0][0]
+            or 0
         )
         labels = joined.select("id", F.col("new").alias("label")).localCheckpoint(
             eager=True
         )
         joined.unpersist()
-        if n_changed == 0:
+        if n_winners == 0:
             break
     e.unpersist()
     vol.unpersist()
     return labels
+
+
+def plm_move_phase(
+    graph: GraphDF,
+    gamma: float = 1.0,
+    max_sweeps: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One Louvain local-moving phase, no contraction (PLM.cpp:24 move
+    phase on a single level). With hash_fn='lcg' and a fixed sweep count
+    the result is DuckDB-unrollable — the driver's plm_move_supplier_co
+    oracle. Edge weights must be integer-valued for the cross-engine
+    value match (exact double sums → bit-identical gains)."""
+    return _move_phase(graph, gamma, max_sweeps, hash_fn)
 
 
 def plm(

@@ -109,7 +109,14 @@ def main():
         # fused convergence-check cadence (see components.py check_every) —
         # bit-identical labels, fewer jobs; BENCH_WCC_CHECK_EVERY overrides
         wcc_ce = int(os.environ.get("BENCH_WCC_CHECK_EVERY", "1"))
-        weakly_connected_components(g_cs, check_every=wcc_ce).count()
+        # BENCH_WCC_BROADCAST=0/1 pins the label-vector broadcast knob
+        # (components.py broadcast_labels; default auto ≤4M rows — the same
+        # measured tradeoff as pagerank's broadcast_rank)
+        wcc_bc_env = os.environ.get("BENCH_WCC_BROADCAST")
+        wcc_bc = None if wcc_bc_env is None else wcc_bc_env == "1"
+        weakly_connected_components(
+            g_cs, check_every=wcc_ce, broadcast_labels=wcc_bc
+        ).count()
         dt = time.time() - t0
         timings["wcc_cs"] = round(dt, 3)
         throughput["wcc_cs"] = {"edges": m_cs, "edges_per_sec": round(m_cs / dt, 1)}

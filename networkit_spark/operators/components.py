@@ -42,6 +42,7 @@ def _hash_min_fixpoint(
     pointer_jump: bool = True,
     checkpointer=None,
     check_every: int = 1,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Fixpoint labels (id, label) with label = min node id of the component.
 
@@ -53,7 +54,14 @@ def _hash_min_fixpoint(
     join) is cadence-invariant, so final labels are bit-identical (worst
     case k-1 no-op sweeps inside the final block). Forced to 1 when a
     checkpointer is attached (per-superstep metrics need per-superstep
-    actions)."""
+    actions).
+
+    `broadcast_labels`: broadcast the |V|-sized label vector into the edge
+    join (and the |V|-sized updates into the |V|⋈|V| joins) instead of
+    shuffling it — the same measured tradeoff as pagerank's broadcast_rank
+    (pagerank.py:109-118): a win while the vertex state fits an executor,
+    while the co-partitioned shuffle join stays the 100-TB path. None =
+    auto by the same ≤4M-row threshold."""
     if checkpointer is not None:
         check_every = 1
     labels = vertices.select("id", F.col("id").alias("label"))
@@ -63,6 +71,8 @@ def _hash_min_fixpoint(
         if resumed is not None:
             start, labels = resumed["superstep"] + 1, resumed["dfs"]["labels"]
     labels = labels.localCheckpoint(eager=True)
+    if broadcast_labels is None:
+        broadcast_labels = labels.count() <= 4_000_000
     interm: list[DataFrame] = []
     e = (
         edges_sym.select("src", "dst")
@@ -72,10 +82,13 @@ def _hash_min_fixpoint(
         .persist()
     )
 
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
+
     for it in range(start, max_iterations):
         t0 = time.time()
         nbr_min = (
-            e.join(labels, e.src == labels.id)
+            e.join(_bc(labels), e.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -83,7 +96,7 @@ def _hash_min_fixpoint(
         # is then a cheap scan of the materialized rows — no extra
         # |V|⋈|V| compare join per sweep
         new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            labels.join(_bc(nbr_min), labels.id == nbr_min.dst, "left")
             .select(
                 "id",
                 F.least(
@@ -99,7 +112,9 @@ def _hash_min_fixpoint(
                 F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
             new_labels = (
-                new_labels.join(parent, new_labels.label == parent.p_id, "left")
+                new_labels.join(
+                    _bc(parent), new_labels.label == parent.p_id, "left"
+                )
                 .select(
                     "id",
                     F.coalesce("p_label", "label").alias("label"),
@@ -165,7 +180,7 @@ def renumber_dense_by_min_id(labels: DataFrame) -> DataFrame:
 
 def connected_components(
     graph: GraphDF, max_iterations: int = 200, checkpointer=None,
-    check_every: int = 1,
+    check_every: int = 1, broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """(id: long, component: long) — exact reference component ids.
 
@@ -180,20 +195,20 @@ def connected_components(
         )
     labels = _hash_min_fixpoint(
         graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
-        check_every=check_every,
+        check_every=check_every, broadcast_labels=broadcast_labels,
     )
     return renumber_dense_by_min_id(labels)
 
 
 def weakly_connected_components(
     graph: GraphDF, max_iterations: int = 200, checkpointer=None,
-    check_every: int = 1,
+    check_every: int = 1, broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """WeaklyConnectedComponents.cpp:32 — hash-min over the symmetrized view
     of a directed edge table."""
     labels = _hash_min_fixpoint(
         graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
-        check_every=check_every,
+        check_every=check_every, broadcast_labels=broadcast_labels,
     )
     return renumber_dense_by_min_id(labels)
 
@@ -261,14 +276,20 @@ def _struct_max_fixpoint(
         # transcripts conv graph until this ordering was restored.
         cached = new_color.persist()
         n_changed = cached.filter(F.col("c") != F.col("old")).count()
+        if n_changed == 0:
+            # no-op sweep: values equal the previous (already-truncated)
+            # colors, so return those instead of paying a checkpoint job
+            cached.unpersist()
+            for df in interm:
+                df.unpersist()
+            interm = []
+            break
         new_color = cached.localCheckpoint(eager=True)
         cached.unpersist()
         color = new_color.select("id", "c")
         for df in interm:
             df.unpersist()
         interm = []
-        if n_changed == 0:
-            break
     return color
 
 
@@ -321,13 +342,20 @@ def _scc_impl(
         graph.E.select("src", "dst").filter("src != dst").distinct()
         .repartition("src").sortWithinPartitions("src").persist()
     )
-    e_all.count()
+    n_active_e = e_all.count()
     active_e = e_all
     active_v = graph.V.select("id").localCheckpoint(eager=True)
+    n_active = active_v.count()
     assigned = []  # DataFrames (id, label) with label = SCC pivot id
 
     for rnd in range(max_rounds):
-        if active_v.limit(1).count() == 0:
+        if n_active == 0:
+            break
+        if n_active_e == 0:
+            # the cut emptied the active edge set: every remaining node is
+            # its own SCC — assign in bulk instead of paying two fixpoint
+            # rounds that would peel them one sweep at a time
+            assigned.append(active_v.select("id", F.col("id").alias("label")))
             break
         # ---- 1. forward MAX-PRIORITY coloring with pointer jumping.
         # Priorities are per-round seeded hashes, NOT raw ids: with raw ids
@@ -336,15 +364,16 @@ def _scc_impl(
         # chain at its priority record-maxima, giving O(log n) expected
         # rounds (the Coppersmith–Fleischer–Pinar random-pivot argument).
         # The color is a (priority, node) struct so pointer jumping can
-        # follow the carrier node.
-        color = active_v.select(
+        # follow the carrier node. The SAME checkpointed init seeds both
+        # the forward and the backward fixpoint (identical by definition).
+        init = active_v.select(
             "id",
             F.struct(
                 F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
                 F.col("id").alias("n"),
             ).alias("c"),
         ).localCheckpoint(eager=True)
-        color = _struct_max_fixpoint(active_e, color, max_inner, check_every)
+        color = _struct_max_fixpoint(active_e, init, max_inner, check_every)
         color = color.select("id", F.col("c").getField("n").alias("color"))
         # ---- 2. backward containment as a SECOND coloring fixpoint.
         # Every class member has strictly lower priority than its pivot
@@ -353,38 +382,42 @@ def _scc_impl(
         # node REACHABLE from v within the class therefore equals the pivot
         # IFF v reaches it. Same struct-max + pointer-jump machinery over
         # the REVERSED same-class edges — O(log depth) supersteps, not the
-        # O(depth) level BFS this used to be.
+        # O(depth) level BFS this used to be. The reversed table is
+        # re-partitioned + sorted on its join key BEFORE the checkpoint so
+        # every inner superstep's SMJ skips exchange AND sort on the edge
+        # side (LogicalRDD preserves partitioning/ordering).
         c_src = color.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
         c_dst = color.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
         e_rev = (
             active_e.join(c_src, "src").join(c_dst, "dst")
             .filter(F.col("c_src") == F.col("c_dst"))
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .repartition("src").sortWithinPartitions("src")
             .localCheckpoint(eager=True)
         )
-        bcolor = active_v.select(
-            "id",
-            F.struct(
-                F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
-                F.col("id").alias("n"),
-            ).alias("c"),
-        ).localCheckpoint(eager=True)
-        bcolor = _struct_max_fixpoint(e_rev, bcolor, max_inner, check_every)
+        bcolor = _struct_max_fixpoint(e_rev, init, max_inner, check_every)
         bcolor = bcolor.select("id", F.col("c").getField("n").alias("bcolor"))
         cells = color.join(bcolor, "id").localCheckpoint(eager=True)
+        # scc / active_v are cheap projections of the checkpointed `cells` —
+        # no extra checkpoints or anti-joins needed (assigned ⟺ color==bcolor)
         scc = cells.filter(F.col("color") == F.col("bcolor")).select(
             "id", F.col("color").alias("label")
         )
-        assigned.append(scc.localCheckpoint(eager=True))
+        assigned.append(scc)
+        remaining = cells.filter(F.col("color") != F.col("bcolor"))
+        n_active = remaining.count()
+        active_v = remaining.select("id")
+        if n_active == 0:
+            break
         # ---- 3. peel + CUT: no SCC spans two (color, bcolor) cells (both
         # signatures are constant on an SCC), so cross-cell edges can never
         # be intra-SCC — dropping them is the CFP recursion step that makes
         # the expected round count logarithmic. Without the cut, one giant
         # reachability class re-forms every round and progress is O(1)
-        # pivots/round.
-        active_v = active_v.join(scc.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        # pivots/round. A same-cell edge with color != bcolor has BOTH
+        # endpoints unassigned (assigned ⟺ color==bcolor and the signatures
+        # agree across the edge), so the f_s != b_s clause subsumes the two
+        # active_v semi-joins the old plan paid for.
         cs = cells.select(
             F.col("id").alias("src"),
             F.col("color").alias("f_s"),
@@ -398,12 +431,16 @@ def _scc_impl(
         active_e = (
             active_e.join(cs, "src")
             .join(cd, "dst")
-            .filter((F.col("f_s") == F.col("f_d")) & (F.col("b_s") == F.col("b_d")))
+            .filter(
+                (F.col("f_s") == F.col("f_d"))
+                & (F.col("b_s") == F.col("b_d"))
+                & (F.col("f_s") != F.col("b_s"))
+            )
             .select("src", "dst")
-            .join(active_v.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(active_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .repartition("src").sortWithinPartitions("src")
             .localCheckpoint(eager=True)
         )
+        n_active_e = active_e.count()
     e_all.unpersist()
     if not assigned:
         return graph.V.select(

@@ -127,7 +127,14 @@ def main():
         m_co = g_co.number_of_edges()
         t0 = time.time()
         plp_te = int(os.environ.get("BENCH_PLP_TRUNCATE_EVERY", "1"))
-        plp_fixed(g_co, iterations=4, truncate_every=plp_te).count()
+        # BENCH_PLP_BROADCAST=0/1 pins the label-vector broadcast knob
+        # (plp.py broadcast_labels; measured a REGRESSION at sf0.1 — 17.0
+        # vs 14.7s medians — so the default is off, unlike wcc/pagerank)
+        plp_bc_env = os.environ.get("BENCH_PLP_BROADCAST")
+        plp_bc = None if plp_bc_env is None else plp_bc_env == "1"
+        plp_fixed(
+            g_co, iterations=4, truncate_every=plp_te, broadcast_labels=plp_bc
+        ).count()
         dt = time.time() - t0
         timings["plp_co"] = round(dt, 3)
         throughput["plp_co"] = {

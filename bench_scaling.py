@@ -160,7 +160,7 @@ spark.stop()
 """
 
 PLP_JOB = COMMON + r"""
-scale = int(sys.argv[2]); ef = int(sys.argv[3]); sweeps = 4
+scale = int(sys.argv[2]); ef = int(sys.argv[3]); sweeps = 8
 from networkit_spark.sources.generators import rmat
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.plp import plp_fixed
@@ -169,17 +169,22 @@ from networkit_spark.operators.plp import plp_fixed
 g0 = rmat(spark, scale, ef, dedup=True, directed=False)
 e = g0.E.localCheckpoint(eager=True); v = g0.V.localCheckpoint(eager=True)
 g = GraphDF(v, e, directed=False, weighted=True)
-m = g.E.count()
-secs = []
-for _ in range(3):
-    t0 = time.time()
-    plp_fixed(g, iterations=sweeps).count()
-    secs.append(time.time() - t0)
-dt = statistics.median(secs[1:])
+stats = {}
+# broadcast_labels=False pins the co-partitioned shuffle-join plan (the
+# |V|-exceeds-executor regime this job evidences), like pagerank/wcc.
+# Steady-state per-sweep protocol (same as the pagerank job): the first
+# two sweeps pay codegen, the edge-cache build, and heap growth — the
+# metric is the median of the remaining per-sweep timings. End-to-end
+# timing at 3 trials showed ±30 percent JIT/GC trial noise; per-sweep medians
+# inside one run are far tighter.
+plp_fixed(g, iterations=sweeps, broadcast_labels=False, stats=stats).count()
+m = stats["edges"] // 2  # undirected edge count (stats counts E_sym rows)
+secs = stats["iter_secs"][2:]
+dt = statistics.median(secs)
 print(json.dumps({"job": "plp", "cores": cores, "edges": m,
                   "median_sec": round(dt, 2),
-                  "all_sec": [round(s, 2) for s in secs],
-                  "throughput": round(m * sweeps / dt, 1),
+                  "all_sec": [round(s, 2) for s in stats["iter_secs"]],
+                  "throughput": round(m / dt, 1),
                   "unit": "edges/s/sweep"}))
 spark.stop()
 """
@@ -230,7 +235,57 @@ def run(script: str, args: list[str], env=None) -> dict:
     raise RuntimeError(f"worker failed:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
 
 
+def weak_scaling():
+    """Reference weakScaling analog (networkit/engineering.pyx:129+): input
+    grows with the core count (4× edges per 4× cores), ideal wall-clock is
+    CONSTANT across levels — efficiency_N→4N = T_N / T_4N. Pagerank only
+    (the headline metric). Writes BENCH/WEAK.md."""
+    levels = [(2, 18), (8, 20), (32, 22)]
+    results = {}
+    for cores, scale in levels:
+        r = run(PAGERANK_JOB, [str(cores), str(scale), "16", "6"])
+        results[cores] = r
+        print(json.dumps(r))
+    e28 = round(results[2]["median_sec"] / results[8]["median_sec"], 3)
+    e832 = round(results[8]["median_sec"] / results[32]["median_sec"], 3)
+    lines = [
+        "# BENCH/WEAK — weak-scaling evidence (pagerank)",
+        "",
+        "Reference weakScaling analog (networkit/engineering.pyx:129+):",
+        "the input grows with the core count — 4× edges per 4× cores, same",
+        "generator, same seed — so ideal per-superstep wall-clock is FLAT",
+        "and efficiency_N→4N = T_N / T_4N (1.0 = perfect).",
+        "",
+        "| cores | scale (2^s nodes, 16/node edges) | median s/superstep | edges/s/superstep | weak eff vs prev |",
+        "|---|---|---|---|---|",
+    ]
+    prev = None
+    for cores, scale in levels:
+        r = results[cores]
+        eff = "" if prev is None else f"{round(prev['median_sec'] / r['median_sec'], 3)}"
+        lines.append(
+            f"| {cores} | {scale} | {r['median_sec']} | {r['throughput']:.0f} | {eff} |"
+        )
+        prev = r
+    lines += [
+        "",
+        f"Summary: weak efficiency 2→8 = **{e28}**, 8→32 = {e832} (same",
+        "single-box caveat as BASELINE.md: the 8→32 pair shares one memory",
+        "bus; 2→8 is the cluster-regime analog).",
+        "",
+        f"raw: {json.dumps(results)}",
+        "",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "WEAK.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCH/WEAK.md")
+
+
 def main():
+    if "--weak" in sys.argv:
+        weak_scaling()
+        return
     quick = "--quick" in sys.argv
     only = [a.split("=", 1)[1].split(",") for a in sys.argv if a.startswith("--jobs=")]
     only = only[0] if only else None
@@ -262,14 +317,23 @@ def main():
         # checkpoint) is amortized — at scale 18/17 those two jobs were
         # fixed-cost dominated and reported 0.48/0.37 "efficiency" that was
         # really Amdahl on the constant term, not a property of the plans
+        # plp 21/8 → 22/16: after sweep ~3 the converged-regime agg output
+        # collapses and the per-sweep cost is map-side |E| work + fixed
+        # floor — at 21/8 that was ~14 core-seconds/sweep, too small to
+        # amortize the ~1-2s/sweep serial floor at 8+ cores (measured
+        # eff 0.47 on per-sweep medians). 22/16 puts every sweep in the
+        # pagerank job's work regime (~130M E_sym rows/sweep).
         "plp": (
             PLP_JOB,
-            ["17" if quick else "21", "8"],
+            ["17" if quick else "22", "16"],
             {},
         ),
+        # scc 19→20: at 19 the nested fixpoint's ~35s serial job-launch
+        # floor (python-sequenced supersteps) was still ~70% of the 8-core
+        # wall clock; at 20 the parallel fraction dominates
         "scc": (
             SCC_JOB,
-            ["16" if quick else "19", "8"],
+            ["16" if quick else "20", "8"],
             {},
         ),
     }
@@ -371,6 +435,18 @@ def main():
         "- in local mode the 8→32 pair adds threads to ONE memory bus; a",
         "  real 4N cluster adds 4N buses and 4N shuffle services, which is",
         "  what the 2→8 pair (unsaturated) approximates.",
+        "",
+        "Vertex-vector broadcast knob (measured at sf0.1 local[32], fresh",
+        "JVM per run, 1 warmup + 3 trials, medians) — the scaling jobs above",
+        "pin broadcast OFF to evidence the co-partitioned shuffle plan (the",
+        "|V|-exceeds-executor 100 TB regime); the small-|V| fast path:",
+        "- pagerank broadcast_rank: 17.5s vs 23.4s shuffle → auto-on ≤4M rows",
+        "- wcc broadcast_labels:    13.5s vs 22.0s shuffle → auto-on ≤4M rows",
+        "- plp broadcast_labels:    17.0s vs 14.7s shuffle → REGRESSION,",
+        "  default off (PLP's cost is the (dst,label) score agg whose",
+        "  map-side partials shuffle either way; the broadcast only adds a",
+        "  serial per-sweep build). All three knobs are bit-identical by",
+        "  test (test_*_broadcast_*_bit_identical).",
         "",
         f"raw: {json.dumps(summary)}",
         "",

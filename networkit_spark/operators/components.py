@@ -59,9 +59,12 @@ def _hash_min_fixpoint(
     `broadcast_labels`: broadcast the |V|-sized label vector into the edge
     join (and the |V|-sized updates into the |V|⋈|V| joins) instead of
     shuffling it — the same measured tradeoff as pagerank's broadcast_rank
-    (pagerank.py:109-118): a win while the vertex state fits an executor,
-    while the co-partitioned shuffle join stays the 100-TB path. None =
-    auto by the same ≤4M-row threshold."""
+    (pagerank.py:109-118). MEASURED at sf0.1 local[32] (fresh JVM per run,
+    1 warmup + 3 trials): broadcast medians 13.5s vs shuffle-join 22.0s,
+    and much tighter spread. A win while the vertex state fits an executor;
+    the co-partitioned shuffle join stays the 100-TB path. None = auto by
+    the same ≤4M-row threshold. Labels are bit-identical either way
+    (test_wcc_broadcast_labels_bit_identical)."""
     if checkpointer is not None:
         check_every = 1
     labels = vertices.select("id", F.col("id").alias("label"))
@@ -356,6 +359,60 @@ def _scc_impl(
             # its own SCC — assign in bulk instead of paying two fixpoint
             # rounds that would peel them one sweep at a time
             assigned.append(active_v.select("id", F.col("id").alias("label")))
+            break
+        # ---- 0. TRIM (FW-BW-Trim, Slota–Rajamanickam–Madduri IPDPS'14):
+        # a node with no in-edge or no out-edge in the ACTIVE subgraph can
+        # sit on no cycle — it is a singleton SCC. Iterated peeling of
+        # those is one degree-agg + two semi-joins per sweep (~4 jobs),
+        # vs a full CFP round (~2 fixpoints × supersteps × 2 jobs): after
+        # the giant SCC is cut out, the DAG-ish remnant mostly collapses
+        # under trim instead of burning O(log n) fixed-cost-dominated
+        # rounds. BOUNDED per round: full iterated trim is worst-case
+        # O(diameter) sweeps (a pure chain peels two endpoints per sweep),
+        # and deep chains are exactly what the random-pivot cut shatters
+        # in O(log) — so trim runs a few sweeps and hands the rest back.
+        trim_sweeps = 0
+        while n_active > 0 and n_active_e > 0 and trim_sweeps < 3:
+            trim_sweeps += 1
+            both = (
+                active_e.select(F.col("src").alias("id"), F.lit(1).alias("o"),
+                                F.lit(0).alias("i"))
+                .unionByName(
+                    active_e.select(F.col("dst").alias("id"),
+                                    F.lit(0).alias("o"), F.lit(1).alias("i"))
+                )
+                .groupBy("id")
+                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                .filter((F.col("o") == 1) & (F.col("i") == 1))
+                .select("id")
+            )
+            keep_v = active_v.join(both, "id", "left_semi").localCheckpoint(
+                eager=True
+            )
+            n_keep = keep_v.count()
+            if n_keep == n_active:
+                break
+            # lazy: both parents are checkpointed and it is read once in
+            # the final union
+            assigned.append(
+                active_v.join(keep_v, "id", "left_anti")
+                .select("id", F.col("id").alias("label"))
+            )
+            active_v = keep_v
+            n_active = n_keep
+            active_e = (
+                active_e
+                .join(keep_v.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .repartition("src").sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
+            n_active_e = active_e.count()
+        if n_active == 0 or n_active_e == 0:
+            if n_active > 0:
+                assigned.append(
+                    active_v.select("id", F.col("id").alias("label"))
+                )
             break
         # ---- 1. forward MAX-PRIORITY coloring with pointer jumping.
         # Priorities are per-round seeded hashes, NOT raw ids: with raw ids

@@ -45,8 +45,14 @@ def plp(
     use_frontier: bool = True,
     broadcast_frontier_threshold: int = 1_000_000,
     truncate_every: int = 1,
+    broadcast_labels: bool | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns (id: long, label: long).
+
+    `stats`: optional dict — filled with "edges" (symmetrized edge count)
+    and "iter_secs" (per-sweep wall seconds), the same steady-state bench
+    hook as pagerank_fixed's (first sweeps pay codegen + cache build).
 
     `use_frontier`: maintain the active set (nodes with ≥1 changed neighbor
     last sweep) and recompute only those — the PLP.cpp:91-99 reactivation
@@ -61,8 +67,22 @@ def plp(
     different job boundaries — asserted in tests). Whenever a sweep needs
     its update count (threshold/frontier/checkpointer), cadence is forced
     to 1 for that sweep.
+
+    `broadcast_labels`: broadcast the |V|-sized label vector into the edge
+    join (and the per-sweep winner table into the |V|⋈winner join) instead
+    of shuffling them — the same knob as pagerank's broadcast_rank /
+    components' broadcast_labels. MEASURED at sf0.1 local[32] (fresh JVM,
+    1 warmup + 3 trials): broadcast medians 17.0s vs shuffle 14.7s — a
+    REGRESSION, unlike wcc (13.5 vs 22.0) and pagerank (17.5 vs 23.4),
+    because PLP's cost sits in the (dst,label) score aggregation whose
+    map-side partials shuffle either way, so the broadcast only adds the
+    serial per-sweep build. Default therefore stays False (opt-in knob for
+    fixed-cost-dominated regimes); results are bit-identical either way
+    (test_plp_broadcast_labels_bit_identical).
     """
     n = graph.number_of_nodes()
+    if broadcast_labels is None:
+        broadcast_labels = False
     if update_threshold is None:
         update_threshold = max(1, int(n / 1e5))  # PLP.cpp default none→n/1e5
     max_it = max_iterations if max_iterations is not None else 10**9
@@ -70,7 +90,10 @@ def plp(
     e = graph.E_sym.select("src", "dst", "weight")
     # partitioned+sorted cache: supersteps join on src with no re-sort
     e = e.repartition("src").sortWithinPartitions("src").persist()
-    e.count()
+    m = e.count()
+    if stats is not None:
+        stats["edges"] = m
+        stats.setdefault("iter_secs", [])
 
     labels = graph.V.select("id", F.col("id").alias("label"))
     start = 0
@@ -99,7 +122,8 @@ def plp(
         else:
             active_edges = e
 
-        cand = active_edges.join(labels, active_edges.src == labels.id).select(
+        labels_j = F.broadcast(labels) if broadcast_labels else labels
+        cand = active_edges.join(labels_j, active_edges.src == labels.id).select(
             "dst", "label", "weight"
         )
         scores = cand.groupBy("dst", "label").agg(F.sum("weight").alias("w"))
@@ -120,8 +144,9 @@ def plp(
         )
         # one joined frame carries the new label AND the changed flag — a
         # single action materializes both
+        winner_j = F.broadcast(winner) if broadcast_labels else winner
         joined = (
-            labels.join(winner, "id", "left")
+            labels.join(winner_j, "id", "left")
             .select(
                 "id",
                 F.coalesce("new_label", "label").alias("new"),
@@ -184,6 +209,8 @@ def plp(
             )
         if need_count:
             joined.unpersist()
+        if stats is not None:
+            stats["iter_secs"].append(time.time() - t0)
         labels = new_labels
         it += 1
         if 0 <= n_updated <= update_threshold:
@@ -194,7 +221,8 @@ def plp(
 
 
 def plp_fixed(
-    graph: GraphDF, iterations: int, truncate_every: int = 1
+    graph: GraphDF, iterations: int, truncate_every: int = 1,
+    broadcast_labels: bool | None = None, stats: dict | None = None,
 ) -> DataFrame:
     """Exactly `iterations` synchronous sweeps, full recompute — the
     SQL-oracle-parity variant (DuckDB unrolls the same sweeps)."""
@@ -204,6 +232,8 @@ def plp_fixed(
         max_iterations=iterations,
         use_frontier=False,
         truncate_every=truncate_every,
+        broadcast_labels=broadcast_labels,
+        stats=stats,
     )
 
 

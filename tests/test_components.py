@@ -187,6 +187,19 @@ def test_wcc_check_cadence_bit_identical(spark):
     assert base == fused2 == fused3
 
 
+def test_wcc_broadcast_labels_bit_identical(spark):
+    # broadcast_labels swaps the per-superstep shuffle join for a broadcast
+    # hash join (physical plan only) — component ids must be bit-identical
+    edges = powerlaw_directed_edges(n=150, m=700)
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=True)
+    bc = _labels(weakly_connected_components(g, broadcast_labels=True))
+    sh = _labels(weakly_connected_components(g, broadcast_labels=False))
+    assert bc == sh
+
+
 def test_scc_check_cadence_bit_identical(spark):
     from networkit_spark.operators.components import (
         strongly_connected_components,

@@ -16,13 +16,27 @@ Six jobs spanning the engine's workload classes:
   * scc        — CFP random-pivot fixpoint (nested fixpoint: forward/
                  backward closures inside an outer peeling loop)
 
-Each parallelism level runs in its own subprocess (fresh JVM). The headline
-N→4N pair is 2→8 cores — within the 32-core machine's parallel headroom.
-8→32 is reported alongside: in local mode all threads share ONE JVM heap,
-GC, and memory bus, so that pair measures single-box bandwidth saturation,
-not the distributed scaling a real 4N-executor cluster exhibits.
+PROTOCOL (round 4): every job's input is PRE-GENERATED to parquet by a
+dedicated 32-core JVM (deterministic seeds), and each measured parallelism
+level runs in its own fresh JVM that only READS the parquet. Measured
+r3→r4: generating the input inside the measuring JVM polluted the heap /
+GC and (for RMAT) made the realized edge count a function of the dedup
+yield rather than the spec — PLP's recorded 0.471 "efficiency" was an
+artifact of a 4×-smaller-than-assumed per-sweep workload plus generator
+heap pressure; the same kernel on a parquet-read 64.8M-sym-row input
+measures 0.85. Pre-generation also makes the north rule's "same input"
+clause literal: every level consumes byte-identical files.
 
-Writes BENCH/BASELINE.md. Usage: python bench_scaling.py [--quick]
+The headline N→4N pair is 2→8 cores — within the 32-core machine's
+parallel headroom. 8→32 is reported alongside: in local mode all threads
+share ONE JVM heap, GC, and memory bus, so that pair measures single-box
+bandwidth saturation, not the distributed scaling a real 4N-executor
+cluster exhibits.
+
+Writes BENCH/BASELINE.md. Usage:
+  python bench_scaling.py [--quick] [--jobs=plp,wcc] [--weak]
+Inputs are cached under $SPARK_GRAFT_BENCH_CACHE (default
+/tmp/bench_scaling_inputs); delete the dir to force regeneration.
 """
 
 from __future__ import annotations
@@ -33,6 +47,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/bench_scaling_inputs")
 
 COMMON = r"""
 import json, os, sys, time, statistics
@@ -51,18 +66,54 @@ spark = (SparkSession.builder.master(f"local[{cores}]")
 spark.sparkContext.setLogLevel("ERROR")
 """
 
+# ---------------------------------------------------------------------------
+# input pre-generation (always 32 cores, its own JVM, deterministic seeds)
+# ---------------------------------------------------------------------------
+
+GEN_JOB = COMMON + r"""
+kind = sys.argv[2]; out = sys.argv[3]
+if kind == "uniform":
+    # uniform random digraph (out-degree ~ef): isolates shuffle scaling
+    # from skew (skew handling is salting/orientation, benched separately)
+    scale = int(sys.argv[4]); ef = int(sys.argv[5])
+    n = 1 << scale; m = n * ef
+    e = spark.range(m).select(
+        F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
+        F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
+    ).filter("src != dst").withColumn("weight", F.lit(1.0))
+    v = spark.range(n).select("id")
+elif kind == "rmat":
+    # RMAT power-law graph — exercises hub skew; dedup'd undirected
+    scale = int(sys.argv[4]); ef = int(sys.argv[5])
+    from networkit_spark.sources.generators import rmat
+    g0 = rmat(spark, scale, ef, dedup=True, directed=False)
+    e, v = g0.E, g0.V
+elif kind == "vectors":
+    n = int(sys.argv[4]); dim = int(sys.argv[5])
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.abs(F.xxhash64("id", i)), F.lit(2000))
+                       .cast("double") - 1000.0) / 1000.0).alias("embedding"))
+    v = None
+else:
+    raise SystemExit(f"unknown input kind {kind}")
+e.write.mode("overwrite").parquet(out + "/edges")
+if v is not None:
+    v.write.mode("overwrite").parquet(out + "/vertices")
+print(json.dumps({"gen": kind, "out": out,
+                  "edge_rows": spark.read.parquet(out + "/edges").count()}))
+spark.stop()
+"""
+
+# ---------------------------------------------------------------------------
+# measured jobs — read the pre-generated parquet, pin it, then measure
+# ---------------------------------------------------------------------------
+
 PAGERANK_JOB = COMMON + r"""
-scale = int(sys.argv[2]); ef = int(sys.argv[3]); iters = int(sys.argv[4])
-n = 1 << scale; m = n * ef
-# uniform random digraph (out-degree ~ef): isolates shuffle scaling from
-# skew (skew handling is salting/orientation, benched separately)
-df = spark.range(m)
-e = df.select(
-    F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
-    F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
-).filter("src != dst").withColumn("weight", F.lit(1.0))
-e = e.localCheckpoint(eager=True)
-v = spark.range(n).select(F.col("id")).localCheckpoint(eager=True)
+ind = sys.argv[2]; iters = int(sys.argv[3])
+e = spark.read.parquet(ind + "/edges").localCheckpoint(eager=True)
+v = spark.read.parquet(ind + "/vertices").localCheckpoint(eager=True)
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.pagerank import pagerank_fixed
 g = GraphDF(v, e, directed=True, weighted=False)
@@ -76,18 +127,18 @@ secs = stats["iter_secs"][2:]
 med = statistics.median(secs)
 print(json.dumps({"job": "pagerank", "cores": cores, "edges": stats["edges"],
                   "median_sec": round(med, 2),
+                  "all_sec": [round(s, 2) for s in stats["iter_secs"]],
                   "throughput": round(stats["edges"] / med, 1),
                   "unit": "edges/s/superstep"}))
 spark.stop()
 """
 
 TRIANGLES_JOB = COMMON + r"""
-scale = int(sys.argv[2]); ef = int(sys.argv[3])
-from networkit_spark.sources.generators import rmat
+ind = sys.argv[2]
+e = spark.read.parquet(ind + "/edges").localCheckpoint(eager=True)
+v = spark.read.parquet(ind + "/vertices").localCheckpoint(eager=True)
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.triangles import triangle_count_total
-g0 = rmat(spark, scale, ef, dedup=True, directed=False)
-e = g0.E.localCheckpoint(eager=True); v = g0.V.localCheckpoint(eager=True)
 g = GraphDF(v, e, directed=False, weighted=True)
 m = g.E.count()
 # 5 trials, first two excluded, median of the rest (same methodology as
@@ -107,14 +158,10 @@ spark.stop()
 """
 
 KNN_JOB = COMMON + r"""
-n = int(sys.argv[2]); nq = int(sys.argv[3]); dim = 64
-corpus = spark.range(n).select(
-    F.col("id").alias("vec_id"),
-    F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (F.pmod(F.abs(F.xxhash64("id", i)), F.lit(2000))
-                   .cast("double") - 1000.0) / 1000.0).alias("embedding"))
+ind = sys.argv[2]; nq = int(sys.argv[3])
+corpus = spark.read.parquet(ind + "/edges")
 corpus = corpus.repartition(64).localCheckpoint(eager=True)
-corpus.count()
+n = corpus.count()
 qpdf = corpus.filter(f"vec_id < {nq}").toPandas()
 from networkit_spark.functions.similarity import knn_bruteforce_pandas
 t0 = time.time()
@@ -128,18 +175,13 @@ spark.stop()
 
 
 WCC_JOB = COMMON + r"""
-scale = int(sys.argv[2]); ef = int(sys.argv[3])
-n = 1 << scale; m = n * ef
+ind = sys.argv[2]
 # uniform random graph treated undirected: low diameter, so the fixpoint
 # is a handful of hash-min sweeps + pointer jumping — the superstep count
 # is identical at every parallelism level (same input, same seed)
-df = spark.range(m)
-e = df.select(
-    F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
-    F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
-).filter("src != dst").withColumn("weight", F.lit(1.0))
-e = e.localCheckpoint(eager=True)
-v = spark.range(n).select(F.col("id")).localCheckpoint(eager=True)
+e = spark.read.parquet(ind + "/edges").localCheckpoint(eager=True)
+v = spark.read.parquet(ind + "/vertices").localCheckpoint(eager=True)
+m = e.count()
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.components import weakly_connected_components
 g = GraphDF(v, e, directed=True, weighted=False)
@@ -160,14 +202,13 @@ spark.stop()
 """
 
 PLP_JOB = COMMON + r"""
-scale = int(sys.argv[2]); ef = int(sys.argv[3]); sweeps = 8
-from networkit_spark.sources.generators import rmat
+ind = sys.argv[2]; sweeps = 8
+e = spark.read.parquet(ind + "/edges").localCheckpoint(eager=True)
+v = spark.read.parquet(ind + "/vertices").localCheckpoint(eager=True)
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.plp import plp_fixed
 # RMAT: power-law degrees — exercises the struct-min winner agg under the
 # hub skew it was designed for (a per-dst window would straggle here)
-g0 = rmat(spark, scale, ef, dedup=True, directed=False)
-e = g0.E.localCheckpoint(eager=True); v = g0.V.localCheckpoint(eager=True)
 g = GraphDF(v, e, directed=False, weighted=True)
 stats = {}
 # broadcast_labels=False pins the co-partitioned shuffle-join plan (the
@@ -175,8 +216,8 @@ stats = {}
 # Steady-state per-sweep protocol (same as the pagerank job): the first
 # two sweeps pay codegen, the edge-cache build, and heap growth — the
 # metric is the median of the remaining per-sweep timings. End-to-end
-# timing at 3 trials showed ±30 percent JIT/GC trial noise; per-sweep medians
-# inside one run are far tighter.
+# timing at 3 trials showed ±30 percent JIT/GC trial noise; per-sweep
+# medians inside one run are far tighter.
 plp_fixed(g, iterations=sweeps, broadcast_labels=False, stats=stats).count()
 m = stats["edges"] // 2  # undirected edge count (stats counts E_sym rows)
 secs = stats["iter_secs"][2:]
@@ -190,17 +231,12 @@ spark.stop()
 """
 
 SCC_JOB = COMMON + r"""
-scale = int(sys.argv[2]); ef = int(sys.argv[3])
-n = 1 << scale; m = n * ef
+ind = sys.argv[2]
 # uniform random DIGRAPH, mean out-degree ef > 1: one giant SCC plus a
 # tail of trivial ones — the standard CFP workload shape
-df = spark.range(m)
-e = df.select(
-    F.pmod(F.abs(F.xxhash64("id", F.lit(1))), F.lit(n)).alias("src"),
-    F.pmod(F.abs(F.xxhash64("id", F.lit(2))), F.lit(n)).alias("dst"),
-).filter("src != dst").withColumn("weight", F.lit(1.0))
-e = e.localCheckpoint(eager=True)
-v = spark.range(n).select(F.col("id")).localCheckpoint(eager=True)
+e = spark.read.parquet(ind + "/edges").localCheckpoint(eager=True)
+v = spark.read.parquet(ind + "/vertices").localCheckpoint(eager=True)
+m = e.count()
 from networkit_spark.graph import GraphDF
 from networkit_spark.operators.components import strongly_connected_components
 g = GraphDF(v, e, directed=True, weighted=False)
@@ -235,6 +271,21 @@ def run(script: str, args: list[str], env=None) -> dict:
     raise RuntimeError(f"worker failed:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}")
 
 
+def ensure_input(kind: str, a: int, b: int) -> str:
+    """Generate (or reuse) a cached parquet input; returns its directory.
+
+    Generation always runs in its own 32-core JVM so no measured JVM ever
+    pays generator heap/GC costs, and every level reads identical bytes.
+    """
+    d = os.path.join(CACHE, f"{kind}_{a}_{b}")
+    if os.path.exists(os.path.join(d, "edges", "_SUCCESS")):
+        return d
+    os.makedirs(CACHE, exist_ok=True)
+    r = run(GEN_JOB, ["32", kind, d, str(a), str(b)])
+    print(json.dumps(r))
+    return d
+
+
 def weak_scaling():
     """Reference weakScaling analog (networkit/engineering.pyx:129+): input
     grows with the core count (4× edges per 4× cores), ideal wall-clock is
@@ -243,7 +294,8 @@ def weak_scaling():
     levels = [(2, 18), (8, 20), (32, 22)]
     results = {}
     for cores, scale in levels:
-        r = run(PAGERANK_JOB, [str(cores), str(scale), "16", "6"])
+        ind = ensure_input("uniform", scale, 16)
+        r = run(PAGERANK_JOB, [str(cores), ind, "6"])
         results[cores] = r
         print(json.dumps(r))
     e28 = round(results[2]["median_sec"] / results[8]["median_sec"], 3)
@@ -254,7 +306,8 @@ def weak_scaling():
         "Reference weakScaling analog (networkit/engineering.pyx:129+):",
         "the input grows with the core count — 4× edges per 4× cores, same",
         "generator, same seed — so ideal per-superstep wall-clock is FLAT",
-        "and efficiency_N→4N = T_N / T_4N (1.0 = perfect).",
+        "and efficiency_N→4N = T_N / T_4N (1.0 = perfect). Inputs are",
+        "pre-generated parquet (see BASELINE.md protocol note).",
         "",
         "| cores | scale (2^s nodes, 16/node edges) | median s/superstep | edges/s/superstep | weak eff vs prev |",
         "|---|---|---|---|---|",
@@ -290,60 +343,40 @@ def main():
     only = [a.split("=", 1)[1].split(",") for a in sys.argv if a.startswith("--jobs=")]
     only = only[0] if only else None
     levels = [2, 8, 32]
+    # job -> (script, input spec (kind, a, b), extra args, env)
+    # plp input sizing: strong scaling needs enough per-core steady-sweep
+    # work that the ~0.3-0.5s/superstep serial fixed cost (task launch,
+    # AQE planning, checkpoint) is amortized. RMAT dedup yield is sublinear
+    # in ef (hub collisions): scale 22/ef 16 realizes only ~16M undirected
+    # edges (~33M sym rows/sweep — fixed-cost dominated at 8+ cores,
+    # measured 0.47 "efficiency" that was Amdahl on the constant term).
+    # scale 22/ef 32 realizes ~2× that (~60M+ sym rows/sweep), the regime
+    # where the same kernel measured 0.85.
     jobs = {
-        "pagerank": (
-            PAGERANK_JOB,
-            ["20" if quick else "21", "16", "6" if quick else "8"],
-            {},
-        ),
-        "triangles": (
-            TRIANGLES_JOB,
-            ["17" if quick else "18", "8"],
-            {},
-        ),
-        "knn": (
-            KNN_JOB,
-            ["1000000" if quick else "2000000", "256" if quick else "512"],
-            {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
-             "MKL_NUM_THREADS": "1"},
-        ),
-        "wcc": (
-            WCC_JOB,
-            ["19" if quick else "20", "8"],
-            {},
-        ),
-        # plp/scc sizes: strong scaling needs enough per-core work that the
-        # ~0.3-0.5s/superstep serial fixed cost (task launch, AQE planning,
-        # checkpoint) is amortized — at scale 18/17 those two jobs were
-        # fixed-cost dominated and reported 0.48/0.37 "efficiency" that was
-        # really Amdahl on the constant term, not a property of the plans
-        # plp 21/8 → 22/16: after sweep ~3 the converged-regime agg output
-        # collapses and the per-sweep cost is map-side |E| work + fixed
-        # floor — at 21/8 that was ~14 core-seconds/sweep, too small to
-        # amortize the ~1-2s/sweep serial floor at 8+ cores (measured
-        # eff 0.47 on per-sweep medians). 22/16 puts every sweep in the
-        # pagerank job's work regime (~130M E_sym rows/sweep).
-        "plp": (
-            PLP_JOB,
-            ["17" if quick else "22", "16"],
-            {},
-        ),
+        "pagerank": (PAGERANK_JOB, ("uniform", 20 if quick else 21, 16),
+                     ["6" if quick else "8"], {}),
+        "triangles": (TRIANGLES_JOB, ("rmat", 17 if quick else 18, 8),
+                      [], {}),
+        "knn": (KNN_JOB, ("vectors", 1000000 if quick else 2000000, 64),
+                ["256" if quick else "512"],
+                {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+                 "MKL_NUM_THREADS": "1"}),
+        "wcc": (WCC_JOB, ("uniform", 19 if quick else 20, 8), [], {}),
+        "plp": (PLP_JOB, ("rmat", 17 if quick else 22, 8 if quick else 32),
+                [], {}),
         # scc 19→20: at 19 the nested fixpoint's ~35s serial job-launch
         # floor (python-sequenced supersteps) was still ~70% of the 8-core
         # wall clock; at 20 the parallel fraction dominates
-        "scc": (
-            SCC_JOB,
-            ["16" if quick else "20", "8"],
-            {},
-        ),
+        "scc": (SCC_JOB, ("uniform", 16 if quick else 20, 8), [], {}),
     }
     if only:
         jobs = {k: v for k, v in jobs.items() if k in only}
     results: dict[str, dict[int, dict]] = {}
-    for name, (script, args, env) in jobs.items():
+    for name, (script, spec, args, env) in jobs.items():
+        ind = ensure_input(*spec)
         results[name] = {}
         for c in levels:
-            r = run(script, [str(c), *args], env)
+            r = run(script, [str(c), ind, *args], env)
             results[name][c] = r
             print(json.dumps(r))
 
@@ -391,6 +424,15 @@ def main():
         "networkit/engineering.pyx:96-127). Headline pair N→4N = 2→8 cores;",
         "8→32 shares one JVM heap/memory bus and measures single-box",
         "saturation, not distributed scaling.",
+        "",
+        "Protocol (round 4): inputs are PRE-GENERATED parquet, written once",
+        "by a dedicated 32-core JVM; every measured level runs in a fresh",
+        "JVM that only reads them. Round 3 generated inputs inside the",
+        "measuring JVM — that polluted the measured heap/GC and, for RMAT,",
+        "made the realized workload a function of dedup yield (4× smaller",
+        "than the spec assumed): PLP's recorded 0.471 was an artifact, not",
+        "a plan property. Pre-generation makes the north rule's same-input",
+        "clause literal — every level consumes byte-identical files.",
         "",
         "| job | metric | local[2] | local[8] | local[32] | eff 2→8 | eff 8→32 |",
         "|---|---|---|---|---|---|---|",
@@ -447,6 +489,15 @@ def main():
         "  map-side partials shuffle either way; the broadcast only adds a",
         "  serial per-sweep build). All three knobs are bit-identical by",
         "  test (test_*_broadcast_*_bit_identical).",
+        "",
+        "Compact-id edge cache (measured round 4, 64.8M-sym-row RMAT,",
+        "per-sweep steady medians, fresh JVMs): casting src/dst/label to",
+        "int32 in the PLP superstep loop is NEUTRAL in steady sweeps at",
+        "both levels (8-core 4.08→4.2 s/sweep, 2-core 13.91→13.67) —",
+        "Tungsten's shuffle rows pad ints to 8-byte slots, so packing only",
+        "accelerates the one-time columnar cache build (32.3→23.2s first",
+        "sweep). REJECTED as a production change: no steady-state win to",
+        "buy the cast-back complexity and overflow guard.",
         "",
         f"raw: {json.dumps(summary)}",
         "",

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -278,11 +279,19 @@ def ensure_input(kind: str, a: int, b: int) -> str:
     pays generator heap/GC costs, and every level reads identical bytes.
     """
     d = os.path.join(CACHE, f"{kind}_{a}_{b}")
-    if os.path.exists(os.path.join(d, "edges", "_SUCCESS")):
+    # completeness marker written AFTER both tables land — edges/_SUCCESS
+    # alone passed a half-generated cache (edges written, vertices missing)
+    # when a generation run was interrupted
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
         return d
+    if os.path.exists(d):
+        shutil.rmtree(d)
     os.makedirs(CACHE, exist_ok=True)
     r = run(GEN_JOB, ["32", kind, d, str(a), str(b)])
     print(json.dumps(r))
+    with open(marker, "w") as f:
+        f.write(json.dumps(r) + "\n")
     return d
 
 
@@ -344,30 +353,33 @@ def main():
     only = only[0] if only else None
     levels = [2, 8, 32]
     # job -> (script, input spec (kind, a, b), extra args, env)
-    # plp input sizing: strong scaling needs enough per-core steady-sweep
-    # work that the ~0.3-0.5s/superstep serial fixed cost (task launch,
-    # AQE planning, checkpoint) is amortized. RMAT dedup yield is sublinear
-    # in ef (hub collisions): scale 22/ef 16 realizes only ~16M undirected
-    # edges (~33M sym rows/sweep — fixed-cost dominated at 8+ cores,
-    # measured 0.47 "efficiency" that was Amdahl on the constant term).
-    # scale 22/ef 32 realizes ~2× that (~60M+ sym rows/sweep), the regime
-    # where the same kernel measured 0.85.
+    # RMAT dedup yield is sublinear in ef (hub collisions): plp's scale
+    # 22/ef 32 spec realizes ~32M undirected edges (~65M sym rows/sweep).
+    # Strong-scaling input sizing is driven by the measured two-level
+    # Amdahl decomposition (T_N = f + p/N over the 2/8 pair): every job
+    # carries a size-independent serial term f (job launch, AQE planning,
+    # stage barriers, checkpoint bookkeeping) that a real cluster amortizes
+    # but a small input cannot. Sizes below put p/4 >> f at 8 cores.
+    # Measured on uniform 2^21/16 (33.5M edges): pagerank f=1.19s p=12.7s
+    # per superstep AFTER the hash(id)-carry fix (was f=2.29) → scale 22
+    # doubles p. wcc end-to-end f≈19s p≈84s at 2^20/8 → scale 22. knn
+    # f≈3.3s p≈33s at 2M vectors → 4M.
     jobs = {
-        "pagerank": (PAGERANK_JOB, ("uniform", 20 if quick else 21, 16),
+        "pagerank": (PAGERANK_JOB, ("uniform", 20 if quick else 22, 16),
                      ["6" if quick else "8"], {}),
-        "triangles": (TRIANGLES_JOB, ("rmat", 17 if quick else 18, 8),
+        "triangles": (TRIANGLES_JOB, ("rmat", 17 if quick else 19, 8),
                       [], {}),
-        "knn": (KNN_JOB, ("vectors", 1000000 if quick else 2000000, 64),
+        "knn": (KNN_JOB, ("vectors", 1000000 if quick else 4000000, 64),
                 ["256" if quick else "512"],
                 {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
                  "MKL_NUM_THREADS": "1"}),
-        "wcc": (WCC_JOB, ("uniform", 19 if quick else 20, 8), [], {}),
+        "wcc": (WCC_JOB, ("uniform", 19 if quick else 22, 8), [], {}),
         "plp": (PLP_JOB, ("rmat", 17 if quick else 22, 8 if quick else 32),
                 [], {}),
-        # scc 19→20: at 19 the nested fixpoint's ~35s serial job-launch
-        # floor (python-sequenced supersteps) was still ~70% of the 8-core
-        # wall clock; at 20 the parallel fraction dominates
-        "scc": (SCC_JOB, ("uniform", 16 if quick else 20, 8), [], {}),
+        # scc: the nested fixpoint's serial job-launch floor (python-
+        # sequenced supersteps) dominates below ~10^7 edges — 2^21/8 puts
+        # the forward/backward closure sweeps in the parallel regime
+        "scc": (SCC_JOB, ("uniform", 16 if quick else 21, 8), [], {}),
     }
     if only:
         jobs = {k: v for k, v in jobs.items() if k in only}

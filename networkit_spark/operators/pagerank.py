@@ -91,8 +91,15 @@ def pagerank(
     """
     spark = graph.V.sparkSession
     # pin the vertex set: V's lineage may be an arbitrarily deep derivation
-    # (e.g. the transcript pipeline) and is referenced every superstep
-    v = graph.V.select("id").persist()
+    # (e.g. the transcript pipeline) and is referenced every superstep.
+    # Hash-partition AND sort it by id, like the edge table below: the
+    # superstep's rank update (v/rank ⋈ mass) then emits its output
+    # hash(id)-partitioned and id-sorted, localCheckpoint preserves both,
+    # and the NEXT superstep's edge join (edges.src == rank.id) needs no
+    # exchange and no sort on the rank side either — the whole superstep
+    # moves |V| rows through exactly ONE exchange (the mass groupBy(dst)),
+    # instead of re-exchanging v/rank on every join.
+    v = graph.V.select("id").repartition("id").sortWithinPartitions("id").persist()
     n = v.count()
     if n == 0:
         return graph.V.withColumn("score", F.lit(0.0))

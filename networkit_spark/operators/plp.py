@@ -95,7 +95,17 @@ def plp(
         stats["edges"] = m
         stats.setdefault("iter_secs", [])
 
-    labels = graph.V.select("id", F.col("id").alias("label"))
+    # hash-partition + sort the label vector by id ONCE: the per-sweep
+    # labels⋈winner join emits its output hash(id)-partitioned/id-sorted,
+    # localCheckpoint preserves both, and the next sweep's edge join
+    # (src == id) and winner join both run exchange-free and sort-free on
+    # the label side — the same single-exchange superstep shape as
+    # pagerank (pagerank.py:95-105); labels are bit-identical.
+    labels = (
+        graph.V.select("id", F.col("id").alias("label"))
+        .repartition("id")
+        .sortWithinPartitions("id")
+    )
     start = 0
     if checkpointer is not None:
         resumed = checkpointer.latest_state()

@@ -165,11 +165,19 @@ corpus = corpus.repartition(64).localCheckpoint(eager=True)
 n = corpus.count()
 qpdf = corpus.filter(f"vec_id < {nq}").toPandas()
 from networkit_spark.functions.similarity import knn_bruteforce_pandas
-t0 = time.time()
-knn_bruteforce_pandas(corpus, qpdf, k=10).count()
-dt = time.time() - t0
+# 1 warmup + 3 timed trials, median — the first pass pays Python-worker
+# startup + Arrow codegen (measured 28.6s cold vs 17.4s steady at 8
+# cores on the 4M corpus); single-trial timing recorded that warmup as
+# if it were the kernel
+ts = []
+for trial in range(4):
+    t0 = time.time()
+    knn_bruteforce_pandas(corpus, qpdf, k=10).count()
+    ts.append(time.time() - t0)
+dt = statistics.median(ts[1:])
 print(json.dumps({"job": "knn", "cores": cores, "pairs": n * nq,
                   "median_sec": round(dt, 2),
+                  "all_sec": [round(s, 2) for s in ts],
                   "throughput": round(n * nq / dt, 1), "unit": "pairs/s"}))
 spark.stop()
 """

@@ -108,9 +108,16 @@ def _hash_min_fixpoint(
                 F.col("label").alias("old"),
             )
         )
+        pj_cache = None
         if pointer_jump:
             # label[u] <- label[label[u]] : labels are node ids, so this is a
-            # |V|-sized self-join — halves the remaining propagation depth
+            # |V|-sized self-join — halves the remaining propagation depth.
+            # The pre-jump frame feeds BOTH sides of that join; without a
+            # persist each side's stage recomputes the whole hash-min join
+            # subtree (only its exchanges are reused), so pin it lazily and
+            # let the one materializing job fill the cache.
+            new_labels = new_labels.persist()
+            pj_cache = new_labels
             parent = new_labels.select(
                 F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
@@ -134,6 +141,8 @@ def _hash_min_fixpoint(
             # block-end materialization runs the whole block at once
             new_labels = new_labels.persist()
             interm.append(new_labels)
+            if pj_cache is not None:
+                interm.append(pj_cache)
             labels = new_labels.select("id", "label")
             continue
         # convergence test = "the LAST sweep changed nothing": a sweep is a
@@ -159,6 +168,8 @@ def _hash_min_fixpoint(
             new_labels = cached.localCheckpoint(eager=True)
             labels = new_labels.select("id", "label")
         cached.unpersist()
+        if pj_cache is not None:
+            pj_cache.unpersist()
         for df in interm:
             df.unpersist()
         interm = []
@@ -248,6 +259,14 @@ def _struct_max_fixpoint(
                 F.col("c").alias("old"),
             )
         )
+        # NOTE: _hash_min_fixpoint persists the pre-jump frame so the
+        # pointer-jump join's two sides share one materialization (-20%
+        # there). Measured HERE it REGRESSES (uniform 2^21/8 SCC at 8
+        # cores: 163.5s -> 210.3s): the nested fixpoints run many short
+        # sweeps on shrinking active sets, where writing the struct-typed
+        # color cache every sweep costs more than the duplicated
+        # post-exchange work (the exchanges themselves are reused). Keep
+        # the recompute.
         parent = new_color.select(
             F.col("id").alias("p_id"), F.col("c").alias("p_c")
         )

@@ -165,12 +165,13 @@ corpus = corpus.repartition(64).localCheckpoint(eager=True)
 n = corpus.count()
 qpdf = corpus.filter(f"vec_id < {nq}").toPandas()
 from networkit_spark.functions.similarity import knn_bruteforce_pandas
-# 1 warmup + 3 timed trials, median — the first pass pays Python-worker
+# 1 warmup + 5 timed trials, median — the first pass pays Python-worker
 # startup + Arrow codegen (measured 28.6s cold vs 17.4s steady at 8
 # cores on the 4M corpus); single-trial timing recorded that warmup as
-# if it were the kernel
+# if it were the kernel. 5 trials because within-JVM spread at 8 cores
+# measured ±25% (21-33s) on the selection-bound kernel.
 ts = []
-for trial in range(4):
+for trial in range(6):
     t0 = time.time()
     knn_bruteforce_pandas(corpus, qpdf, k=10).count()
     ts.append(time.time() - t0)
@@ -509,6 +510,39 @@ def main():
         "  map-side partials shuffle either way; the broadcast only adds a",
         "  serial per-sweep build). All three knobs are bit-identical by",
         "  test (test_*_broadcast_*_bit_identical).",
+        "",
+        "SCC serial-term decomposition (round 4, uniform 2^21/8): fitting",
+        "T(N) = f + p/N to the measured 2/8-core times gives f ~= 82s of",
+        "core-count-INDEPENDENT time vs p ~= 652s of parallel work — the",
+        "f is the python-driver-sequenced nested fixpoint itself (CFP runs",
+        "O(log^2) rounds, each an inner forward/backward closure of short",
+        "Spark jobs whose launch + AQE-plan time never parallelizes), not",
+        "a data-plane property. 2->8 efficiency is capped at",
+        "(f+p/2)/(4*(f+p/8)) = 0.62 by that floor; on a real cluster the",
+        "SAME floor amortizes because the per-round closures run on",
+        "1000x more edges for the same number of rounds (rounds grow",
+        "log-squared in |V| while work grows linearly).",
+        "",
+        "knn kernel orientation (measured round 4, 10k-row Arrow batches,",
+        "512 queries, dim 64, f64): the brute-force GEMM job was",
+        "SELECTION-bound, not multiply-bound — per batch the (batch, nq)",
+        "score matrix put np.argpartition on a stride-nq axis (0.30s/batch",
+        "+ a negated 40MB copy) while the GEMM itself cost 0.013-0.07s.",
+        "Computing the transposed product qm @ cm.T makes the per-query",
+        "top-k scan contiguous rows and the row build fully vectorized:",
+        "0.335 -> 0.11 s/batch steady-state (3x), identical results.",
+        "",
+        "WCC pointer-jump persist (measured round 4, uniform 2^20/8, fresh",
+        "JVMs, same protocol): the pre-jump label frame feeds BOTH sides of",
+        "the |V| self-join; persisting it before the jump cut wall-clock",
+        "~20% at 2 AND 8 cores (81.6s / 31.6s vs 102.4s / 39.6s) — without",
+        "it each side's stage recomputed the hash-min join subtree (only",
+        "exchanges are reused across the stage split). The IDENTICAL",
+        "persist in SCC's struct-max fixpoint REGRESSED 163.5 -> 210.3s at",
+        "8 cores: its nested fixpoints run many short sweeps on shrinking",
+        "active sets, where writing the struct-typed cache every sweep",
+        "costs more than the duplicated post-exchange work. Persist kept in",
+        "WCC, rejected in SCC (comment at its jump site records this).",
         "",
         "Compact-id edge cache (measured round 4, 64.8M-sym-row RMAT,",
         "per-sweep steady medians, fresh JVMs): casting src/dst/label to",

@@ -43,6 +43,7 @@ def _hash_min_fixpoint(
     checkpointer=None,
     check_every: int = 1,
     broadcast_labels: bool | None = None,
+    jump_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Fixpoint labels (id, label) with label = min node id of the component.
 
@@ -64,7 +65,14 @@ def _hash_min_fixpoint(
     and much tighter spread. A win while the vertex state fits an executor;
     the co-partitioned shuffle join stays the 100-TB path. None = auto by
     the same ≤4M-row threshold. Labels are bit-identical either way
-    (test_wcc_broadcast_labels_bit_identical)."""
+    (test_wcc_broadcast_labels_bit_identical).
+
+    `jump_broadcast_rows`: in the non-broadcast (big-graph) path, the
+    pointer-jump self-join switches to a broadcast remap once the number
+    of DISTINCT labels fits under this row count — see the comment at the
+    jump site for why this removes the giant-component straggler. 0
+    disables (always the shuffled self-join); bit-identical either way
+    (test_wcc_jump_remap_bit_identical)."""
     if checkpointer is not None:
         check_every = 1
     labels = vertices.select("id", F.col("id").alias("label"))
@@ -121,9 +129,37 @@ def _hash_min_fixpoint(
             parent = new_labels.select(
                 F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
+            remap = None
+            if not broadcast_labels and check_every <= 1:
+                # The jump join keys on the LABEL VALUE — as components
+                # coalesce, most of |V| carries the giant component's label,
+                # so the shuffled self-join degenerates to one straggler
+                # task whatever the core count (measured as a ~75s
+                # core-count-independent term in the 2/8-core fit at
+                # uniform 2^22/8). But the remap table (label -> its
+                # current label) has only #distinct-labels rows, which
+                # SHRINKS geometrically exactly as that skew grows:
+                # restrict `parent` to labels actually referenced (the
+                # distinct agg is map-side combinable — the giant label
+                # collapses in the combiners, no skew) and broadcast it
+                # once it fits, turning the skewed |V|⋈|V| exchange into a
+                # map-side hash lookup. Early sweeps have many distinct
+                # labels but little skew; late sweeps are the inverse — the
+                # broadcast kicks in exactly when it is needed. Skipped
+                # inside fused blocks (check_every>1): the decision needs a
+                # per-sweep count job, which the fused-block contract
+                # (zero intra-block jobs) exists to avoid.
+                lbls = (
+                    new_labels.select(F.col("label").alias("p_id")).distinct()
+                )
+                if lbls.count() <= jump_broadcast_rows:
+                    remap = parent.join(F.broadcast(lbls), "p_id")
+                    remap = F.broadcast(remap)
+            if remap is None:
+                remap = _bc(parent)
             new_labels = (
                 new_labels.join(
-                    _bc(parent), new_labels.label == parent.p_id, "left"
+                    remap, new_labels.label == remap.p_id, "left"
                 )
                 .select(
                     "id",

@@ -200,6 +200,25 @@ def test_wcc_broadcast_labels_bit_identical(spark):
     assert bc == sh
 
 
+def test_wcc_jump_remap_bit_identical(spark):
+    # the adaptive broadcast-remap pointer jump (jump_broadcast_rows) is a
+    # physical-plan change only — labels must be bit-identical to the
+    # shuffled |V|⋈|V| self-join it replaces (threshold 0 disables it)
+    from networkit_spark.operators.components import _hash_min_fixpoint
+
+    edges = powerlaw_directed_edges(n=150, m=700)
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    g = GraphDF.from_edges(e, directed=True)
+    kw = dict(broadcast_labels=False)
+    remap = _hash_min_fixpoint(g.E_sym, g.V, **kw)
+    shuffled = _hash_min_fixpoint(g.E_sym, g.V, jump_broadcast_rows=0, **kw)
+    assert sorted(map(tuple, remap.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
 def test_scc_check_cadence_bit_identical(spark):
     from networkit_spark.operators.components import (
         strongly_connected_components,

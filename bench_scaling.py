@@ -169,7 +169,7 @@ from networkit_spark.functions.similarity import knn_bruteforce_pandas
 # startup + Arrow codegen (measured 28.6s cold vs 17.4s steady at 8
 # cores on the 4M corpus); single-trial timing recorded that warmup as
 # if it were the kernel. 5 trials because within-JVM spread at 8 cores
-# measured ±25% (21-33s) on the selection-bound kernel.
+# measured plus-minus 25 percent (21-33s) on the selection-bound kernel.
 ts = []
 for trial in range(6):
     t0 = time.time()
@@ -532,17 +532,40 @@ def main():
         "top-k scan contiguous rows and the row build fully vectorized:",
         "0.335 -> 0.11 s/batch steady-state (3x), identical results.",
         "",
-        "WCC pointer-jump persist (measured round 4, uniform 2^20/8, fresh",
-        "JVMs, same protocol): the pre-jump label frame feeds BOTH sides of",
-        "the |V| self-join; persisting it before the jump cut wall-clock",
-        "~20% at 2 AND 8 cores (81.6s / 31.6s vs 102.4s / 39.6s) — without",
-        "it each side's stage recomputed the hash-min join subtree (only",
-        "exchanges are reused across the stage split). The IDENTICAL",
-        "persist in SCC's struct-max fixpoint REGRESSED 163.5 -> 210.3s at",
-        "8 cores: its nested fixpoints run many short sweeps on shrinking",
-        "active sets, where writing the struct-typed cache every sweep",
-        "costs more than the duplicated post-exchange work. Persist kept in",
-        "WCC, rejected in SCC (comment at its jump site records this).",
+        "WCC pointer-jump experiments (round 4, fresh JVMs, same protocol):",
+        "1) PERSIST the pre-jump label frame — it feeds BOTH sides of the",
+        "|V| self-join; without the persist each side's stage recomputes",
+        "the hash-min join subtree (only exchanges are reused across the",
+        "stage split). Measured -20% at 2 AND 8 cores on uniform 2^20/8,",
+        "and -44% at 8 cores on uniform 2^22/8 (180.5 -> 100.8s). The",
+        "IDENTICAL persist in SCC's struct-max fixpoint REGRESSED",
+        "163.5 -> 210.3s at 8 cores (many short sweeps on shrinking active",
+        "sets: the cache write costs more than the duplicated",
+        "post-exchange work) — kept recompute there.",
+        "2) ADAPTIVE BROADCAST REMAP for the jump join, whose key is the",
+        "LABEL VALUE (at convergence ~all of |V| carries the giant",
+        "component's label): replace the shuffled self-join with a",
+        "broadcast of the label->label[label] remap table once its",
+        "#distinct-labels row count fits a threshold. Measured at 8 cores,",
+        "uniform 2^22/8: threshold 4M REGRESSES vs never (118.7 vs 100.8s",
+        "— early sweeps have millions of distinct labels and the",
+        "driver-side broadcast build is itself serial), threshold 512k is",
+        "a WASH (101.4s). Locally the skewed partition is only ~70MB",
+        "(~1-2s/sweep straggler), so the remap can't win here — but at",
+        "10^10 vertices that straggler task is ~250GB, a job-killer, while",
+        "the late-sweep remap is kilobytes. Default threshold 512k: free",
+        "at this scale by measurement, and the de-skew insurance the plan",
+        "needs at the 100-TB tier. Bit-identical either way",
+        "(test_wcc_jump_remap_bit_identical).",
+        "3) ZERO-JOB REMAP DECISION: the first remap cut ran a",
+        "distinct+count job EVERY sweep just to test the threshold (one",
+        "full extra |V| pass per sweep, at every parallelism, even with",
+        "the remap disabled) — that job is why the first recorded wcc row",
+        "this round measured 291/119s (eff 0.613) with the regressed 4M",
+        "default. Hash-min label sets only shrink, so the PREVIOUS block",
+        "end's countDistinct (folded into the convergence agg as a second",
+        "output column — same single job) upper-bounds this sweep's count",
+        "and drives the decision with zero extra jobs.",
         "",
         "Compact-id edge cache (measured round 4, 64.8M-sym-row RMAT,",
         "per-sweep steady medians, fresh JVMs): casting src/dst/label to",

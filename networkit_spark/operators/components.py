@@ -43,7 +43,7 @@ def _hash_min_fixpoint(
     checkpointer=None,
     check_every: int = 1,
     broadcast_labels: bool | None = None,
-    jump_broadcast_rows: int = 4_000_000,
+    jump_broadcast_rows: int = 512_000,
 ) -> DataFrame:
     """Fixpoint labels (id, label) with label = min node id of the component.
 
@@ -70,9 +70,12 @@ def _hash_min_fixpoint(
     `jump_broadcast_rows`: in the non-broadcast (big-graph) path, the
     pointer-jump self-join switches to a broadcast remap once the number
     of DISTINCT labels fits under this row count — see the comment at the
-    jump site for why this removes the giant-component straggler. 0
-    disables (always the shuffled self-join); bit-identical either way
-    (test_wcc_jump_remap_bit_identical)."""
+    jump site for why this removes the giant-component straggler. The
+    decision uses the PREVIOUS block-end's distinct-label count (folded
+    into the convergence agg — zero extra jobs; hash-min label sets only
+    shrink, so the lagged count is an upper bound and the broadcast never
+    overshoots). 0 disables (always the shuffled self-join);
+    bit-identical either way (test_wcc_jump_remap_bit_identical)."""
     if checkpointer is not None:
         check_every = 1
     labels = vertices.select("id", F.col("id").alias("label"))
@@ -81,6 +84,16 @@ def _hash_min_fixpoint(
         resumed = checkpointer.latest_state()
         if resumed is not None:
             start, labels = resumed["superstep"] + 1, resumed["dfs"]["labels"]
+    # hash-partition AND sort by id once (the pagerank.py:94 pattern): the
+    # sweep's edge join (e.src == labels.id) and update join
+    # (labels.id == nbr_min.dst) then run exchange-free and sort-free on
+    # the labels side, and — WHEN the jump takes the broadcast-remap path,
+    # which is map-side — the sweep's output inherits hash(id)+sort, the
+    # localCheckpoint preserves both, and every subsequent sweep keeps the
+    # property: |V| rows cross exactly one exchange per sweep (the
+    # nbr_min agg). The shuffled-jump fallback re-keys by label and the
+    # property re-establishes at the next update join.
+    labels = labels.repartition("id").sortWithinPartitions("id")
     labels = labels.localCheckpoint(eager=True)
     if broadcast_labels is None:
         broadcast_labels = labels.count() <= 4_000_000
@@ -96,6 +109,15 @@ def _hash_min_fixpoint(
     def _bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_labels else df
 
+    remap_live = (
+        pointer_jump
+        and not broadcast_labels
+        and check_every <= 1
+        and jump_broadcast_rows > 0
+    )
+    # distinct-label count from the previous block end (None = unknown);
+    # drives the remap decision with a one-sweep lag — see the jump site
+    prev_distinct: int | None = None
     for it in range(start, max_iterations):
         t0 = time.time()
         nbr_min = (
@@ -130,31 +152,43 @@ def _hash_min_fixpoint(
                 F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
             remap = None
-            if not broadcast_labels and check_every <= 1:
+            if (
+                remap_live
+                and prev_distinct is not None
+                and prev_distinct <= jump_broadcast_rows
+            ):
                 # The jump join keys on the LABEL VALUE — as components
-                # coalesce, most of |V| carries the giant component's label,
-                # so the shuffled self-join degenerates to one straggler
-                # task whatever the core count (measured as a ~75s
-                # core-count-independent term in the 2/8-core fit at
-                # uniform 2^22/8). But the remap table (label -> its
-                # current label) has only #distinct-labels rows, which
-                # SHRINKS geometrically exactly as that skew grows:
-                # restrict `parent` to labels actually referenced (the
-                # distinct agg is map-side combinable — the giant label
-                # collapses in the combiners, no skew) and broadcast it
-                # once it fits, turning the skewed |V|⋈|V| exchange into a
-                # map-side hash lookup. Early sweeps have many distinct
-                # labels but little skew; late sweeps are the inverse — the
-                # broadcast kicks in exactly when it is needed. Skipped
-                # inside fused blocks (check_every>1): the decision needs a
-                # per-sweep count job, which the fused-block contract
-                # (zero intra-block jobs) exists to avoid.
+                # coalesce, most of |V| carries the giant component's
+                # label, so the shuffled self-join funnels into one
+                # straggler task. The remap table (label -> its current
+                # label) has only #distinct-labels rows, which SHRINKS
+                # geometrically exactly as that skew grows: restrict
+                # `parent` to labels actually referenced (the distinct agg
+                # is map-side combinable — the giant label collapses in
+                # the combiners, no skew) and broadcast it once it fits,
+                # turning the skewed |V|⋈|V| exchange into a map-side
+                # hash lookup. MEASURED (uniform 2^22/8, 8 cores): the
+                # local straggler is only ~70MB (~1-2s/sweep), so the
+                # remap is a WASH at threshold 512k (101.4 vs 100.8s
+                # never-remap) and a REGRESSION at 4M (118.7s — early
+                # sweeps have millions of distinct labels and the
+                # driver-side broadcast build is serial). The default
+                # stays LOW so the build never dominates; the payoff is
+                # the 100-TB tier, where the straggler task at 10^10
+                # vertices is ~250GB while the late-sweep remap is
+                # kilobytes. The fits-under-threshold decision uses the
+                # PREVIOUS block end's countDistinct (folded into the
+                # convergence agg — zero extra jobs per sweep; hash-min
+                # only ever REMOVES label values, so the lagged count
+                # upper-bounds this sweep's and the broadcast can't
+                # overshoot). Skipped inside fused blocks (check_every>1):
+                # the fused-block contract is zero intra-block jobs, and
+                # there is no block end to carry the count from.
                 lbls = (
                     new_labels.select(F.col("label").alias("p_id")).distinct()
                 )
-                if lbls.count() <= jump_broadcast_rows:
-                    remap = parent.join(F.broadcast(lbls), "p_id")
-                    remap = F.broadcast(remap)
+                remap = parent.join(F.broadcast(lbls), "p_id")
+                remap = F.broadcast(remap)
             if remap is None:
                 remap = _bc(parent)
             new_labels = (
@@ -188,7 +222,21 @@ def _hash_min_fixpoint(
         # _struct_max_fixpoint — direct eager checkpoints on multi-consumer
         # iterative pipelines re-execute geometrically).
         cached = new_labels.persist()
-        n_updated = cached.filter(F.col("label") != F.col("old")).count()
+        if remap_live:
+            # one agg fills the cache AND yields both the convergence count
+            # and the next sweep's remap decision — countDistinct's partial
+            # phase collapses the giant label map-side, so the extra column
+            # shuffles only per-partition distinct counts
+            row = cached.agg(
+                F.sum(
+                    (F.col("label") != F.col("old")).cast("long")
+                ).alias("chg"),
+                F.countDistinct("label").alias("nd"),
+            ).first()
+            n_updated = int(row["chg"] or 0)
+            prev_distinct = int(row["nd"])
+        else:
+            n_updated = cached.filter(F.col("label") != F.col("old")).count()
         if checkpointer is not None:
             new_labels = checkpointer.save(
                 it,
@@ -231,6 +279,7 @@ def renumber_dense_by_min_id(labels: DataFrame) -> DataFrame:
 def connected_components(
     graph: GraphDF, max_iterations: int = 200, checkpointer=None,
     check_every: int = 1, broadcast_labels: bool | None = None,
+    jump_broadcast_rows: int = 512_000,
 ) -> DataFrame:
     """(id: long, component: long) — exact reference component ids.
 
@@ -246,6 +295,7 @@ def connected_components(
     labels = _hash_min_fixpoint(
         graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
         check_every=check_every, broadcast_labels=broadcast_labels,
+        jump_broadcast_rows=jump_broadcast_rows,
     )
     return renumber_dense_by_min_id(labels)
 
@@ -253,12 +303,14 @@ def connected_components(
 def weakly_connected_components(
     graph: GraphDF, max_iterations: int = 200, checkpointer=None,
     check_every: int = 1, broadcast_labels: bool | None = None,
+    jump_broadcast_rows: int = 512_000,
 ) -> DataFrame:
     """WeaklyConnectedComponents.cpp:32 — hash-min over the symmetrized view
     of a directed edge table."""
     labels = _hash_min_fixpoint(
         graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
         check_every=check_every, broadcast_labels=broadcast_labels,
+        jump_broadcast_rows=jump_broadcast_rows,
     )
     return renumber_dense_by_min_id(labels)
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import GraphDF
@@ -118,6 +118,10 @@ def _hash_min_fixpoint(
     # distinct-label count from the previous block end (None = unknown);
     # drives the remap decision with a one-sweep lag — see the jump site
     prev_distinct: int | None = None
+    # cache backing the previous sweep's LAZY localCheckpoint — released
+    # only after the next sweep's count job has materialized it
+    prev_cache: DataFrame | None = None
+    n_updated = 0
     for it in range(start, max_iterations):
         t0 = time.time()
         nbr_min = (
@@ -221,6 +225,11 @@ def _hash_min_fixpoint(
         # persist FIRST, count from cache, checkpoint from cache (see
         # _struct_max_fixpoint — direct eager checkpoints on multi-consumer
         # iterative pipelines re-execute geometrically).
+        # ONE driver-sequenced job per sweep: the convergence agg fills the
+        # cache, and the lineage-truncating localCheckpoint is LAZY — its
+        # LogicalRDD plan break is immediate, but materialization rides
+        # inside the NEXT sweep's job, so the backing cache is released one
+        # sweep late (prev_cache) instead of paying a second job now.
         cached = new_labels.persist()
         if remap_live:
             # one agg fills the cache AND yields both the convergence count
@@ -237,6 +246,18 @@ def _hash_min_fixpoint(
             prev_distinct = int(row["nd"])
         else:
             n_updated = cached.filter(F.col("label") != F.col("old")).count()
+        if n_updated == 0:
+            # no-op sweep: values equal the previous (already-truncated)
+            # labels — return those, no checkpoint job needed. The count
+            # job above also materialized the previous lazy checkpoint,
+            # so prev_cache is releasable below.
+            cached.unpersist()
+            if pj_cache is not None:
+                pj_cache.unpersist()
+            for df in interm:
+                df.unpersist()
+            interm = []
+            break
         if checkpointer is not None:
             new_labels = checkpointer.save(
                 it,
@@ -248,17 +269,24 @@ def _hash_min_fixpoint(
                 },
             )["labels"]
             labels = new_labels
+            cached.unpersist()
         else:
-            new_labels = cached.localCheckpoint(eager=True)
+            new_labels = cached.localCheckpoint(eager=False)
             labels = new_labels.select("id", "label")
-        cached.unpersist()
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = cached
         if pj_cache is not None:
             pj_cache.unpersist()
         for df in interm:
             df.unpersist()
         interm = []
-        if n_updated == 0:
-            break
+    if prev_cache is not None:
+        if n_updated != 0:
+            # loop ended on a live (unmaterialized) lazy checkpoint — one
+            # cache-scan job writes it before its backing cache goes
+            labels.count()
+        prev_cache.unpersist()
     e.unpersist()
     return labels
 
@@ -331,6 +359,11 @@ def _struct_max_fixpoint(
     and the fixpoint bit-identical at any cadence."""
     color = init_color
     interm: list[DataFrame] = []
+    # single-job sweeps (see _hash_min_fixpoint): the lineage-truncating
+    # localCheckpoint is lazy — plan break now, materialization inside the
+    # next sweep's count job; the backing cache is released one sweep late
+    prev_cache: DataFrame | None = None
+    n_changed = 0
     for it in range(max_inner):
         nbr = (
             edges.join(color, edges.src == color.id)
@@ -394,12 +427,20 @@ def _struct_max_fixpoint(
                 df.unpersist()
             interm = []
             break
-        new_color = cached.localCheckpoint(eager=True)
-        cached.unpersist()
+        new_color = cached.localCheckpoint(eager=False)
         color = new_color.select("id", "c")
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = cached
         for df in interm:
             df.unpersist()
         interm = []
+    if prev_cache is not None:
+        if n_changed != 0:
+            # loop ended on a live (unmaterialized) lazy checkpoint — one
+            # cache-scan job writes it before its backing cache goes
+            color.count()
+        prev_cache.unpersist()
     return color
 
 
@@ -455,7 +496,15 @@ def _scc_impl(
     )
     n_active_e = e_all.count()
     active_e = e_all
-    active_v = graph.V.select("id").localCheckpoint(eager=True)
+    # Throughout this loop, lineage-truncating localCheckpoints are LAZY
+    # wherever a count (or a fixpoint's first sweep) follows immediately:
+    # the count job materializes the checkpoint RDD, so each bookkeeping
+    # step costs ONE driver-sequenced job instead of two. The nested
+    # fixpoints run dozens of short sweeps per round — job launch + AQE
+    # planning is the measured core-count-INDEPENDENT f~=82s term in the
+    # 2/8-core Amdahl fit (BENCH/BASELINE.md), so halving job count is
+    # the lever on scaling efficiency here, not data-plane work.
+    active_v = graph.V.select("id").localCheckpoint(eager=False)
     n_active = active_v.count()
     assigned = []  # DataFrames (id, label) with label = SCC pivot id
 
@@ -500,7 +549,7 @@ def _scc_impl(
                 .select("id")
             )
             keep_v = active_v.join(both, "id", "left_semi").localCheckpoint(
-                eager=True
+                eager=False
             )
             n_keep = keep_v.count()
             if n_keep == n_active:
@@ -518,7 +567,7 @@ def _scc_impl(
                 .join(keep_v.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(keep_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
                 .repartition("src").sortWithinPartitions("src")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n_active_e = active_e.count()
         if n_active == 0 or n_active_e == 0:
@@ -542,7 +591,9 @@ def _scc_impl(
                 F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
                 F.col("id").alias("n"),
             ).alias("c"),
-        ).localCheckpoint(eager=True)
+            # lazy: the forward fixpoint's first sweep materializes it;
+            # the backward fixpoint then reads the same checkpoint storage
+        ).localCheckpoint(eager=False)
         color = _struct_max_fixpoint(active_e, init, max_inner, check_every)
         color = color.select("id", F.col("c").getField("n").alias("color"))
         # ---- 2. backward containment as a SECOND coloring fixpoint.
@@ -563,11 +614,13 @@ def _scc_impl(
             .filter(F.col("c_src") == F.col("c_dst"))
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             .repartition("src").sortWithinPartitions("src")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         bcolor = _struct_max_fixpoint(e_rev, init, max_inner, check_every)
         bcolor = bcolor.select("id", F.col("c").getField("n").alias("bcolor"))
-        cells = color.join(bcolor, "id").localCheckpoint(eager=True)
+        # lazy: the remaining.count() below materializes it; scc/cs/cd then
+        # read the same checkpoint storage
+        cells = color.join(bcolor, "id").localCheckpoint(eager=False)
         # scc / active_v are cheap projections of the checkpointed `cells` —
         # no extra checkpoints or anti-joins needed (assigned ⟺ color==bcolor)
         scc = cells.filter(F.col("color") == F.col("bcolor")).select(
@@ -608,7 +661,7 @@ def _scc_impl(
             )
             .select("src", "dst")
             .repartition("src").sortWithinPartitions("src")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_active_e = active_e.count()
     e_all.unpersist()

@@ -142,6 +142,12 @@ def core_decomposition_hindex(
 
     iters = fixed_iterations if fixed_iterations is not None else max_iterations
     interm = []
+    # single-job sweeps (see components._hash_min_fixpoint): the lazy
+    # localCheckpoint's plan break is immediate but its materialization
+    # rides inside the next sweep's count job; the backing cache is
+    # released one sweep late
+    prev_cache = None
+    n_changed = 0
     for it in range(iters):
         h = hindex_sweep(e, c)
         # join against c (≡ V, carries the pre-sweep value as `old`): the
@@ -174,14 +180,26 @@ def core_decomposition_hindex(
         # multi-consumer iterative pipelines re-execute geometrically)
         cached = new_c.persist()
         n_changed = cached.filter(F.col("val") != F.col("old")).count()
-        new_c = cached.localCheckpoint(eager=True)
-        cached.unpersist()
+        if n_changed == 0:
+            # no-op sweep: values equal the previous (already-truncated) c
+            cached.unpersist()
+            for df in interm:
+                df.unpersist()
+            interm = []
+            break
+        new_c = cached.localCheckpoint(eager=False)
         c = new_c.select("id", "val")
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = cached
         for df in interm:
             df.unpersist()
         interm = []
-        if n_changed == 0:
-            break
+    if prev_cache is not None:
+        if n_changed != 0:
+            # loop ended on a live (unmaterialized) lazy checkpoint
+            c.count()
+        prev_cache.unpersist()
     e.unpersist()
     return c.select("id", F.col("val").alias("core"))
 

@@ -566,6 +566,21 @@ def main():
         "end's countDistinct (folded into the convergence agg as a second",
         "output column — same single job) upper-bounds this sweep's count",
         "and drives the decision with zero extra jobs.",
+        "4) SINGLE-JOB SUPERSTEPS (wcc, scc, kcore): every fixpoint block",
+        "end paid TWO driver-sequenced jobs — the convergence count from",
+        "cache, then an eager localCheckpoint re-scanning the same cache.",
+        "The checkpoint is now LAZY: its LogicalRDD plan break is",
+        "immediate, materialization rides inside the NEXT sweep's count",
+        "job, and the backing cache is released one sweep late. SCC's",
+        "per-round bookkeeping (trim keep_v/active_e, priority init,",
+        "reversed same-class edges, cells, cut) gets the same treatment —",
+        "each lazy checkpoint is materialized by the count or first sweep",
+        "that follows it. Job launch + AQE planning is the measured",
+        "core-count-INDEPENDENT f term of the 2/8-core Amdahl fit (f~=82s",
+        "for SCC, ~61s for the first wcc row this round), which a real",
+        "cluster amortizes but a small input cannot — halving job count",
+        "attacks the f term directly. Bit-identical by the components and",
+        "kcore suites (22 tests).",
         "",
         "Compact-id edge cache (measured round 4, 64.8M-sym-row RMAT,",
         "per-sweep steady medians, fresh JVMs): casting src/dst/label to",

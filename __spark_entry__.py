@@ -1329,6 +1329,40 @@ def q_text_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition signals: within-doc duplicate 2/3-gram
+    fractions (pure array program), top-token fraction (two-level agg), and
+    corpus-level duplicate-5-gram fraction (distinct-gram df join)."""
+    from networkit_spark.functions.text import repetition_metrics
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return (
+        repetition_metrics(docs)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            "top_token_frac",
+            "dup_5gram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag docs sharing any word 8-gram with the
+    deterministic held-out subset (doc_id % 97 == 0) via a broadcast
+    semi-join of the eval gram set — the corpus never shuffles."""
+    from networkit_spark.functions.text import decontaminate
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return (
+        decontaminate(docs, F.col("doc_id") % 97 == 0, k=8)
+        .select(F.col("id").cast("long").alias("doc_id"), "contaminated")
+        .orderBy("doc_id")
+    )
+
+
 def q_triangles_lcc_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient on one id."""
     t = q_triangles_supplier_co(spark, sf_dir)
@@ -1462,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "text_metrics_documents": q_text_metrics_documents,
+        "repetition_metrics_documents": q_repetition_metrics_documents,
+        "decontaminate_documents": q_decontaminate_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "shard_pack_documents": q_shard_pack_documents,
         "knn_embeddings": q_knn_embeddings,
@@ -3686,6 +3722,72 @@ JOIN ({base['quality_documents']}) qd ON ts.doc_id = qd.doc_id
 JOIN ({base['language_id_documents']}) li ON ts.doc_id = li.doc_id
 JOIN ({base['trigram_score_documents']}) tr ON ts.doc_id = tr.id
 ORDER BY ts.doc_id
+"""
+    o["repetition_metrics_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+within AS (
+  SELECT doc_id,
+    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) AS g2,
+    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) AS g3
+  FROM toks
+),
+w AS (
+  SELECT doc_id,
+    CASE WHEN len(g2) = 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END
+      AS dup_2gram_frac,
+    CASE WHEN len(g3) = 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END
+      AS dup_3gram_frac
+  FROM within
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+topf AS (
+  SELECT doc_id,
+    ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_frac
+  FROM tc GROUP BY doc_id
+),
+g5 AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g
+  FROM toks
+),
+gdf AS (SELECT g, COUNT(*) AS df FROM g5 GROUP BY g),
+d5 AS (
+  SELECT doc_id,
+    ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS dup_5gram_frac
+  FROM g5 JOIN gdf USING (g) GROUP BY doc_id
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id, w.dup_2gram_frac, w.dup_3gram_frac,
+       COALESCE(topf.top_token_frac, 0.0) AS top_token_frac,
+       COALESCE(d5.dup_5gram_frac, 0.0) AS dup_5gram_frac
+FROM w
+LEFT JOIN topf ON topf.doc_id = w.doc_id
+LEFT JOIN d5 ON d5.doc_id = w.doc_id
+ORDER BY doc_id
+"""
+    o["decontaminate_documents"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+g8 AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+hit AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (g))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hit ON hit.doc_id = d.doc_id
+ORDER BY doc_id
 """
     o["triangles_lcc_supplier_co"] = f"""
 SELECT t.id, t.triangles, l.lcc

@@ -162,3 +162,140 @@ def trigram_logprob_score(
     return df.select(F.col(id_col).alias("id")).join(
         scored, "id", "left"
     ).select("id", F.round(F.coalesce("score", F.lit(0.0)), 6).alias("score"))
+
+
+def _tokens(text_col: str) -> Column:
+    """Whitespace-normalized token array (empty array for blank text)."""
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def _word_grams(tokens: Column, k: int) -> Column:
+    """Array of word k-grams (space-joined) via a higher-order transform —
+    JVM-side, no explode needed for the within-doc fractions."""
+    n = F.size(tokens)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signals, per document:
+
+      dup_2gram_frac / dup_3gram_frac — fraction of the document's word
+        k-grams that are repeats of an earlier k-gram in the SAME document
+        (1 - distinct/total). Pure array program (transform + array_distinct)
+        — no shuffle at all for these two columns.
+      top_token_frac — occurrences of the document's most frequent token /
+        total tokens (boilerplate detector). Explode → two-level agg; the
+        (id, token) pre-aggregation is the map-side-combine-friendly shape.
+      dup_5gram_frac — fraction of the document's DISTINCT word 5-grams that
+        occur in at least one other document (corpus-level near-duplication
+        signal, the cheap exact-substring-dedup proxy). Explode distinct
+        grams → one hash-shuffled df count → join back. At 100 TB the gram
+        table is the shuffle key and hot grams are bounded by a df cap
+        upstream (see ngram dedup); here df is exact.
+
+    Rounds to 6 like every cross-engine float (CLAUDE.md rule 5).
+    Training-pipeline op beyond the reference (round brief); no reference
+    twin to cite.
+    """
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+    def dup_frac(k: int) -> Column:
+        grams = _word_grams(F.col("toks"), k)
+        tot = F.size(grams)
+        return F.when(tot <= 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(grams)) / tot, 6)
+        )
+
+    within = base.select(
+        "id",
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+    tok_rows = base.select("id", F.explode("toks").alias("tok"))
+    top = (
+        tok_rows.groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"))
+    )
+
+    doc_grams = base.select(
+        "id", F.explode(F.array_distinct(_word_grams(F.col("toks"), 5))).alias("g")
+    )
+    gram_df = doc_grams.groupBy("g").agg(F.count("*").alias("df"))
+    dup5 = (
+        doc_grams.join(gram_df, "g")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("dup_5gram_frac")
+        )
+    )
+
+    return (
+        within.join(top, "id", "left")
+        .join(dup5, "id", "left")
+        .select(
+            F.col("id"),
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("dup_5gram_frac", F.lit(0.0)).alias("dup_5gram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_pred: Column,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, contaminated 0/1): flag documents sharing any word k-gram with a
+    held-out benchmark/eval subset (rows where bench_pred is true) — the
+    standard pre-training decontamination pass. The eval gram set is tiny
+    relative to the corpus, so it is BROADCAST and the flag is a broadcast
+    left-semi join against the exploded training grams: no shuffle of the
+    corpus at any scale. Benchmark rows flag themselves (they share their
+    own grams) — callers typically drop them separately.
+    Training-pipeline op beyond the reference (round brief)."""
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), bench_pred.alias("is_bench"), toks.alias("toks")
+    )
+    grams = base.select(
+        "id",
+        "is_bench",
+        F.explode(F.array_distinct(_word_grams(F.col("toks"), k))).alias("g"),
+    )
+    bench_grams = grams.filter("is_bench").select("g").distinct()
+    hit = (
+        grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1).cast("long"))
+    )
+    return (
+        base.select("id")
+        .join(hit, "id", "left")
+        .select(
+            "id", F.coalesce("contaminated", F.lit(0).cast("long")).alias("contaminated")
+        )
+    )

@@ -344,3 +344,49 @@ def test_minhash_bucket_cap_no_full_bucket_sort(spark):
     assert len(rows) == 10  # C(5,2) survivor pairs, ids 0..4
     ids = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
     assert ids == {0, 1, 2, 3, 4}
+
+
+def test_repetition_metrics_planted(spark):
+    from networkit_spark.functions.text import repetition_metrics
+
+    rows = [
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> 5 total,
+        # 2 distinct -> dup_2gram_frac = 0.6; top token 'a' 3/6 = 0.5
+        (0, "a b a b a b"),
+        # all tokens distinct: zero within-doc repetition
+        (1, "one two three four five six seven eight"),
+        # shares the 5-gram "one two three four five" with doc 1
+        (2, "one two three four five XX YY ZZ"),
+        # short doc: no 5-grams at all -> dup_5gram_frac 0.0
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in repetition_metrics(df).collect()}
+    assert out[0]["dup_2gram_frac"] == pytest.approx(0.6)
+    assert out[0]["top_token_frac"] == pytest.approx(0.5)
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[1]["dup_3gram_frac"] == 0.0
+    # doc1 has 4 distinct 5-grams, 1 shared with doc2 -> 0.25
+    assert out[1]["dup_5gram_frac"] == pytest.approx(0.25)
+    # doc2 has 4 distinct 5-grams, 1 shared -> 0.25
+    assert out[2]["dup_5gram_frac"] == pytest.approx(0.25)
+    assert out[3]["dup_5gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0
+
+
+def test_decontaminate_planted(spark):
+    from networkit_spark.functions.text import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (0, bench_text),  # the benchmark doc (pred: doc_id == 0)
+        # contains the bench 8-gram "alpha ... theta" verbatim
+        (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+        # shares only a 7-gram (theta dropped) -> clean at k=8
+        (2, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail words"),
+        (3, "completely unrelated text with enough tokens to form grams ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["contaminated"] for r in
+           decontaminate(df, F.col("doc_id") == 0, k=8).collect()}
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0}

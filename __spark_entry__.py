@@ -60,6 +60,15 @@ LSH_SEED = 42
 IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_SEED = 42
+KMEANS_K = 8              # Lloyd k-means cells over embeddings
+KMEANS_ITERS = 2          # fixed assign→update rounds (unrollable oracle)
+KMEANS_SEED = 42
+SEMDEDUP_THRESHOLD = 0.35  # within-cell cosine near-dup cut (≈p99.9 at sf0.01)
+PII_PLANT_MOD = 7         # plant PII into doc_id % 7 == 0 rows (both engines)
+BM25_QUERIES = ["spark hash join", "stream batch window"]  # in-vocab keywords
+BM25_TOPK = 5
+IMP_SEED = 11             # importance-sample LCG seed
+IMP_FLOOR = 0.05          # importance-sample acceptance floor
 BIBFS_PAIRS = [(0, 37), (5, 90), (12, 60), (3, 99)]
 BIBFS_MAXD = 12
 KPATH_K = 4              # kpath max walk length
@@ -1391,6 +1400,101 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means cell assignment (fixed iterations, LCG init) +
+    SemDeDup-style within-cell cosine survivor selection, on one vec_id."""
+    from networkit_spark.functions.clustering import kmeans, semantic_dedup
+
+    emb = tg.load(spark, sf_dir, "embeddings")
+    asg = kmeans(
+        emb, k=KMEANS_K, iterations=KMEANS_ITERS, seed=KMEANS_SEED
+    )
+    sd = semantic_dedup(
+        emb, asg.select("id", "cell"), threshold=SEMDEDUP_THRESHOLD
+    )
+    return (
+        asg.join(sd, "id")
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            "cos",
+            F.col("survivor").cast("long").alias("survivor"),
+            F.col("is_survivor").cast("long").alias("is_survivor"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count+mask pass with deterministically PLANTED PII (doc_id %
+    PII_PLANT_MOD == 0 rows get an email+IPv4+phone suffix) so the scrub
+    has real hits at every sf; the oracle plants identically."""
+    from networkit_spark.functions.text import pii_scrub
+
+    docs = tg.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com from 10.0."),
+        (did % 200).cast("string"),
+        F.lit(".255 call 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            did % PII_PLANT_MOD == 0, F.concat(F.col("text"), suffix)
+        ).otherwise(F.col("text")),
+    )
+    return (
+        pii_scrub(planted)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "n_emails",
+            "n_ipv4",
+            "n_phones",
+            "scrubbed",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for two fixed keyword queries — the
+    corpus-exploration / nearest-benchmark-audit query path."""
+    from networkit_spark.functions.retrieval import bm25_search
+
+    docs = tg.load(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_QUERIES, k=BM25_TOPK).orderBy(
+        "query", "rank"
+    )
+
+
+def q_importance_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-style quality-weighted resampling driven by the trigram
+    corpus-LM fluency score (smoothed acceptance floor, LCG coin)."""
+    from networkit_spark.functions.sampling import importance_sample
+    from networkit_spark.functions.text import trigram_logprob_score
+
+    docs = tg.load(spark, sf_dir, "documents")
+    scores = trigram_logprob_score(docs)
+    return (
+        importance_sample(
+            scores, "score", "id", seed=IMP_SEED, floor=IMP_FLOOR
+        )
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "weight",
+            "accept_p",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_perm_kpath_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permanence (vs fixed-sweep PLP) + LCG KPath centrality on one id."""
     p = q_permanence_supplier(spark, sf_dir).withColumnRenamed(
@@ -1501,6 +1605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "shard_pack_documents": q_shard_pack_documents,
         "knn_embeddings": q_knn_embeddings,
+        "kmeans_semdedup_embeddings": q_kmeans_semdedup_embeddings,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "bm25_search_documents": q_bm25_search_documents,
+        "importance_sample_documents": q_importance_sample_documents,
         "events_sessions": q_events_sessions,
         "windowed_events": q_windowed_events,
         # -- centralities
@@ -2724,6 +2832,157 @@ FROM l{PLM_MOVE_SWEEPS} ORDER BY id
     )
 
 
+def _kmeans_semdedup_sql() -> str:
+    """Unrolled Lloyd k-means (KMEANS_ITERS assign→update rounds + the final
+    assign) and the within-cell cosine survivor closure — mirrors
+    functions/clustering.py exactly (LCG init, rounded cosine with min-ctid
+    tie-break, per-dim means rounded to 6 each update)."""
+    k, iters, seed = KMEANS_K, KMEANS_ITERS, KMEANS_SEED
+    parts = [
+        "e AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
+        f"""cent0 AS (SELECT vec_id AS ctid, embedding AS cv FROM embeddings
+  ORDER BY ((vec_id + {seed}) * 1103515245 + 12345) % 2147483648, vec_id
+  LIMIT {k})""",
+        "dims AS (SELECT range AS i FROM range(0, 64))",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""sims{t} AS (
+  SELECT e.id, c.ctid,
+    SUM(CAST(e.v[i+1] AS DOUBLE) * CAST(c.cv[i+1] AS DOUBLE)) AS dot,
+    SUM(CAST(e.v[i+1] AS DOUBLE) * CAST(e.v[i+1] AS DOUBLE)) AS na,
+    SUM(CAST(c.cv[i+1] AS DOUBLE) * CAST(c.cv[i+1] AS DOUBLE)) AS nb
+  FROM e CROSS JOIN cent{t} c CROSS JOIN dims
+  GROUP BY e.id, c.ctid)"""
+        )
+        parts.append(
+            f"""asg{t} AS (
+  SELECT id, ctid AS cell, cos FROM (
+    SELECT id, ctid, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos,
+      ROW_NUMBER() OVER (PARTITION BY id
+        ORDER BY ROUND(dot / (SQRT(na) * SQRT(nb)), 6) DESC, ctid ASC) AS rk
+    FROM sims{t}) WHERE rk = 1)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""cent{t + 1} AS (
+  SELECT cell AS ctid, list(cv1 ORDER BY i) AS cv FROM (
+    SELECT a.cell, d.i, ROUND(AVG(CAST(e.v[d.i + 1] AS DOUBLE)), 6) AS cv1
+    FROM asg{t} a JOIN e ON e.id = a.id CROSS JOIN dims d
+    GROUP BY a.cell, d.i) GROUP BY cell)"""
+            )
+    fin = f"asg{iters}"
+    parts.append(
+        f"""pr AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    SUM(CAST(ea.v[i+1] AS DOUBLE) * CAST(eb.v[i+1] AS DOUBLE)) AS dot,
+    SUM(CAST(ea.v[i+1] AS DOUBLE) * CAST(ea.v[i+1] AS DOUBLE)) AS na,
+    SUM(CAST(eb.v[i+1] AS DOUBLE) * CAST(eb.v[i+1] AS DOUBLE)) AS nb
+  FROM {fin} a JOIN {fin} b ON a.cell = b.cell AND a.id < b.id
+  JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+  CROSS JOIN dims GROUP BY id_a, id_b)"""
+    )
+    parts.append(
+        f"""prs AS (
+  SELECT id_a, id_b FROM pr
+  WHERE ROUND(dot / (SQRT(na) * SQRT(nb)), 6) >= {SEMDEDUP_THRESHOLD})"""
+    )
+    parts.append(
+        """sym AS (SELECT id_a AS a, id_b AS b FROM prs
+  UNION SELECT id_b, id_a FROM prs)"""
+    )
+    parts.append(
+        """reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.a, s.b FROM reach JOIN sym s ON s.a = reach.b
+  WHERE reach.a <> s.b)"""
+    )
+    parts.append(
+        "comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS survivor"
+        " FROM reach GROUP BY a)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(f.id AS BIGINT) AS vec_id, CAST(f.cell AS BIGINT) AS cell, f.cos,
+  CAST(COALESCE(comp.survivor, f.id) AS BIGINT) AS survivor,
+  CAST(CASE WHEN COALESCE(comp.survivor, f.id) = f.id
+            THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+FROM {fin} f LEFT JOIN comp ON comp.id = f.id
+ORDER BY vec_id
+"""
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """PII count+mask twin of q_pii_scrub_documents: identical planted
+    suffix, identical regex strings (the patterns live in functions/text.py
+    and are written in the shared Java-regex/RE2 subset)."""
+    from networkit_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    plant = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.255 call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {PII_PLANT_MOD} = 0 THEN {plant} ELSE text END AS text
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_IPV4}', '<IP>', 'g'),
+    '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM planted ORDER BY doc_id
+"""
+
+
+def _bm25_sql() -> str:
+    """Okapi BM25 twin of q_bm25_search_documents — identical tokenizer,
+    idf, tf normalization, rounding, and (score DESC, id ASC) tie-break.
+    Constants are cast through DOUBLE (rule 12: DuckDB numeric literals
+    are sticky DECIMAL)."""
+    from networkit_spark.functions.retrieval import BM25_B, BM25_K1
+
+    pairs = sorted({(q, t) for q in BM25_QUERIES for t in q.split()})
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+tf AS (SELECT id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qterms(query, tok) AS (VALUES {vals}),
+qtf AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT tok FROM qterms) q USING (tok)),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM qtf GROUP BY tok),
+scored AS (
+  SELECT q.query, t.id,
+    ROUND(SUM(
+      LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+      / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+    ), 6) AS score
+  FROM qtf t JOIN qterms q USING (tok) JOIN dfreq d USING (tok)
+  JOIN dl l ON l.id = t.id CROSS JOIN stats s
+  GROUP BY q.query, t.id),
+ranked AS (
+  SELECT query, id, score,
+    ROW_NUMBER() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS rk
+  FROM scored)
+SELECT query, CAST(rk AS BIGINT) AS rank, CAST(id AS BIGINT) AS doc_id, score
+FROM ranked WHERE rk <= {BM25_TOPK} ORDER BY query, rank
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {k: _mat(v) for k, v in _oracle_sql_raw().items()}
 
@@ -3437,6 +3696,9 @@ ORDER BY id
 """,
         "minhash_lsh_documents": _minhash_sql(),
         "simhash_documents": _simhash_sql(),
+        "kmeans_semdedup_embeddings": _kmeans_semdedup_sql(),
+        "pii_scrub_documents": _pii_scrub_sql(),
+        "bm25_search_documents": _bm25_sql(),
         "luby_mis_cs": _luby_sql(),
         "msf_supplier_co": _msf_sql(),
         "plm_move_supplier_co": _plm_move_sql(),
@@ -3658,6 +3920,8 @@ def _assemble_oracles(base: dict[str, str]) -> dict[str, str]:
         "linkpred_extras_supplier", "roc_transcripts_conv",
         "bidirectional_bfs_supplier", "dyn_bfs_supplier",
         "simple_paths_conv", "volume_conv", "graph_diff_supplier",
+        "kmeans_semdedup_embeddings", "pii_scrub_documents",
+        "bm25_search_documents",
     ]
     o = {k: base[k] for k in singles}
     o["pagerank_customer_supplier"] = f"""
@@ -3788,6 +4052,21 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
          AS contaminated
 FROM documents d LEFT JOIN hit ON hit.doc_id = d.doc_id
 ORDER BY doc_id
+"""
+    o["importance_sample_documents"] = f"""
+WITH base AS ({base['trigram_score_documents']}),
+ext AS (SELECT MIN(score) AS wmin, MAX(score) AS wmax FROM base),
+p AS (
+  SELECT b.id, b.score,
+    ROUND(CASE WHEN e.wmax = e.wmin THEN CAST(1.0 AS DOUBLE)
+          ELSE {IMP_FLOOR} + (1.0 - {IMP_FLOOR})
+               * (b.score - e.wmin) / (e.wmax - e.wmin) END, 6) AS accept_p
+  FROM base b CROSS JOIN ext e)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(score AS DOUBLE) AS weight, accept_p,
+  CAST(CASE WHEN ((id + {IMP_SEED}) % 2147483648 * 1103515245 + 12345)
+                 % 2147483648 < accept_p * 2147483648.0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM p ORDER BY doc_id
 """
     o["triangles_lcc_supplier_co"] = f"""
 SELECT t.id, t.triangles, l.lcc

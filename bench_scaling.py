@@ -454,6 +454,10 @@ def main():
         "than the spec assumed): PLP's recorded 0.471 was an artifact, not",
         "a plan property. Pre-generation makes the north rule's same-input",
         "clause literal — every level consumes byte-identical files.",
+        "Strict-idle addendum: the box must run NOTHING else during the",
+        "measured trials — not even DuckDB oracle checks (DuckDB grabs all",
+        "32 threads; a ~1s query during one trial measured as a 2× outlier).",
+        "Recorded runs below were taken with the machine fully quiet.",
         "",
         "| job | metric | local[2] | local[8] | local[32] | eff 2→8 | eff 8→32 |",
         "|---|---|---|---|---|---|---|",

@@ -113,3 +113,53 @@ def pack_shards(
         "n_tokens",
         F.floor(F.col("_lo") / F.lit(shard_tokens)).cast("long").alias("shard"),
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str = "score",
+    id_col: str = "id",
+    seed: int = 0,
+    floor: float = 0.05,
+) -> DataFrame:
+    """(id, weight, accept_p, kept): DSIR-style quality-weighted Bernoulli
+    resampling — accept each document with probability proportional to its
+    quality/importance weight (e.g. a target-LM trigram score), smoothed so
+    the worst document still keeps a `floor` chance (importance smoothing,
+    keeps the sample's support full).
+
+        p(d) = floor + (1 - floor) * (w(d) - min w) / (max w - min w)
+        kept = LCG_priority(id, seed) < round(p, 6) * 2^31
+
+    The min/max are two scalar aggregates broadcast back via a 1-row cross
+    join (no shuffle of the corpus); acceptance is then a pure filter, the
+    same scale shape as deterministic_sample. accept_p is ROUNDED to 6
+    before the threshold compare so both engines threshold the identical
+    double (CLAUDE.md rule 5). Degenerate corpus (max w = min w) accepts
+    everything — p = 1.
+    Training-pipeline op beyond the reference (round brief)."""
+    w = df.select(
+        F.col(id_col).alias("id"), F.col(weight_col).cast("double").alias("weight")
+    )
+    ext = w.agg(
+        F.min("weight").alias("_wmin"), F.max("weight").alias("_wmax")
+    )
+    p = F.when(
+        F.col("_wmax") == F.col("_wmin"), F.lit(1.0)
+    ).otherwise(
+        F.lit(floor)
+        + (1.0 - floor)
+        * (F.col("weight") - F.col("_wmin"))
+        / (F.col("_wmax") - F.col("_wmin"))
+    )
+    return (
+        w.crossJoin(F.broadcast(ext))
+        .select("id", "weight", F.round(p, 6).alias("accept_p"))
+        .withColumn(
+            "kept",
+            (
+                lcg_priority(F.col("id"), seed)
+                < F.col("accept_p") * F.lit(float(LCG_M))
+            ).cast("long"),
+        )
+    )

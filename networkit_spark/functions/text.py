@@ -299,3 +299,39 @@ def decontaminate(
             "id", F.coalesce("contaminated", F.lit(0).cast("long")).alias("contaminated")
         )
     )
+
+
+# PII patterns — shared Java-regex/RE2 subset (no lookaround, no \p classes)
+# so the SAME string drives both Spark and the DuckDB oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_emails, n_ipv4, n_phones, scrubbed): the standard pre-training
+    PII pass — count then mask emails / IPv4 literals / NANP-style phone
+    numbers with <EMAIL> / <IP> / <PHONE> tokens. Counts are taken on the
+    ORIGINAL text (mask order can't hide a category from its own counter);
+    masking applies email → ip → phone (the patterns are mutually
+    non-overlapping: an IPv4 needs three dots with 1-3 digit octets, a
+    phone needs a 3-3-4 digit shape). Pure regexp column expressions —
+    JVM-side, zero shuffle, trivially 100 TB-safe.
+    Training-pipeline op beyond the reference (round brief)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

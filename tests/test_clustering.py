@@ -135,3 +135,23 @@ def test_pii_scrub_planted(spark):
     assert out[2]["scrubbed"] == rows[2][1]
     assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (2, 0, 1)
     assert out[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+
+
+def test_kmeans_assignment_plan_broadcast_no_window(spark):
+    """Cell assignment must be a broadcast join + struct-max agg — no
+    window operator (no per-id sort task), centroids on the broadcast
+    side."""
+    from networkit_spark.functions.clustering import kmeans
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 3).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    out = kmeans(df, k=3, iterations=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Broadcast" in plan

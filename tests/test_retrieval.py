@@ -94,3 +94,23 @@ def test_importance_sample_planted(spark):
     same = spark.createDataFrame([(0, 2.0), (1, 2.0)], ["id", "score"])
     out2 = importance_sample(same, "score", "id").collect()
     assert all(r["accept_p"] == 1.0 and r["kept"] == 1 for r in out2)
+
+
+def test_bm25_two_stage_topk_plan(spark):
+    """The per-query top-k must be the two-stage salted pattern: a
+    (query, _salt) window BEFORE the per-query window, so no hot query
+    ever owns a whole-candidate sort task."""
+    from networkit_spark.functions.retrieval import bm25_search
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta tok"), (F.col("id") % 7).cast("string")).alias(
+            "text"
+        ),
+    )
+    out = bm25_search(df, ["alpha beta"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly two Window operator nodes: the salted stage-1 and the final
+    # per-query stage (WindowGroupLimit helper nodes don't count)
+    assert plan.count("Window [") == 2
+    assert "_salt" in plan

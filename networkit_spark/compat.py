@@ -359,6 +359,47 @@ class centrality:
 
             return sfigality(self._G)
 
+    class SciPyEVZ(_CentralityAlgorithm):
+        """centrality.pyx:2008-2035 SciPyEVZ — principal adjacency
+        eigenvector (undirected only, like the reference). scipy is absent
+        in this container and unnecessary: the principal eigenvector is
+        exactly what the distributed power iteration computes, already
+        unit-L2-normalized each step (scipy.sparse.linalg.eigs also returns
+        a unit eigenvector, so normalized=False/True coincide up to sign —
+        the reference's normFactor = 1/‖v‖ = 1 on a unit vector)."""
+
+        def __init__(self, G, normalized: bool = False, tol: float = 1e-9):
+            gdf = _gdf(G)
+            if gdf.directed:
+                raise NotImplementedError(
+                    "Not implemented for directed graphs; use "
+                    "centrality.EigenvectorCentrality instead"
+                )
+            super().__init__(G)
+            self._tol = tol
+
+        def _compute(self):
+            from networkit_spark.operators.centrality import eigenvector_centrality
+
+            return eigenvector_centrality(self._G, tol=self._tol)
+
+    class SciPyPageRank(_CentralityAlgorithm):
+        """centrality.pyx:2037-2055 SciPyPageRank — principal eigenvector
+        of the PageRank matrix at damp=0.95. That eigenvector IS the
+        PageRank fixpoint, so this delegates to the distributed power
+        iteration; `normalized` (reference: 1/Σv) is a no-op on the
+        already-sum-1 vector, kept for signature parity."""
+
+        def __init__(self, G, damp: float = 0.95, normalized: bool = False,
+                     tol: float = 1e-12):
+            super().__init__(G)
+            self._damp, self._tol = damp, tol
+
+        def _compute(self):
+            from networkit_spark.operators.pagerank import pagerank
+
+            return pagerank(self._G, damping=self._damp, tol=self._tol)
+
 
 # ---------------------------------------------------------------- components
 class components:
@@ -778,3 +819,76 @@ def overview(G) -> dict:
     from networkit_spark.operators.profiling import profile
 
     return profile(_gdf(G))
+
+
+# ----------------------------------------------------------------------- viz
+class viz:
+    """networkit viz family (viz/PivotMDS.cpp, viz/PostscriptWriter.cpp)."""
+
+    class PivotMDS(_Algorithm):
+        """GraphLayoutAlgorithm facade over operators/layout.pivot_mds."""
+
+        def __init__(self, G, dim: int = 2, numberOfPivots: int = 250,
+                     seed: int = 42):
+            super().__init__(G)
+            self._dim, self._k, self._seed = dim, numberOfPivots, seed
+
+        def _compute(self):
+            from networkit_spark.operators.layout import pivot_mds
+
+            return pivot_mds(
+                self._G, dim=self._dim, num_pivots=self._k, seed=self._seed
+            )
+
+        def getCoordinates(self) -> list[list[float]]:
+            """vertexCoordinates as a dense list (fixture accessor —
+            .frame() is the scale-tier result)."""
+            rows = self._require_run().orderBy("id").collect()
+            return [
+                [float(r[f"c{d}"]) for d in range(self._dim)] for r in rows
+            ]
+
+    class PostscriptWriter:
+        """PostscriptWriter.cpp:38 — write(g, coordinates, path)."""
+
+        def __init__(self, isTorus: bool = False):
+            self._torus = isTorus
+
+        def write(self, g, coordinates, path: str, clustering=None) -> None:
+            from networkit_spark.operators.layout import write_postscript
+
+            coords = (
+                coordinates.frame()
+                if hasattr(coordinates, "frame")
+                else coordinates
+            )
+            clus = (
+                clustering.frame()
+                if clustering is not None and hasattr(clustering, "frame")
+                else clustering
+            )
+            write_postscript(
+                _gdf(g), coords, path, clustering=clus, is_torus=self._torus
+            )
+
+
+# --------------------------------------------------------------------- gephi
+class gephi:
+    """networkit/gephi — streaming client + CSV export (gephi/*.py)."""
+
+    from networkit_spark.sources.gephi import (  # noqa: F401
+        GephiFileHandler,
+        GephiStreamingClient,
+    )
+
+    class streaming:
+        from networkit_spark.sources.gephi import (  # noqa: F401
+            GephiStreamingClient,
+        )
+
+    class csv:
+        @staticmethod
+        def exportNodeValues(values, fpath: str, column_name: str) -> None:
+            from networkit_spark.sources.gephi import export_node_values_csv
+
+            export_node_values_csv(values, fpath, column_name)

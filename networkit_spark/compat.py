@@ -848,6 +848,55 @@ class viz:
                 [float(r[f"c{d}"]) for d in range(self._dim)] for r in rows
             ]
 
+    class MaxentStress(_Algorithm):
+        """viz/MaxentStress.cpp:26-186 facade over operators/layout.
+        maxent_stress; `linearSolverType` accepted for signature parity
+        (every tier maps to the distributed batched CG)."""
+
+        def __init__(self, G, dim: int = 2, k: int = 1,
+                     tolerance: float = 1e-6, linearSolverType=None,
+                     fastComputation: bool = False,
+                     maxSolvesPerAlpha: int = 5, maxAlphaRounds: int = 5,
+                     seed: int = 42):
+            super().__init__(G)
+            self._dim, self._k, self._tol = dim, k, tolerance
+            self._fast = fastComputation
+            self._solves, self._rounds = maxSolvesPerAlpha, maxAlphaRounds
+            self._seed = seed
+
+        def _compute(self):
+            from networkit_spark.operators.layout import maxent_stress
+
+            return maxent_stress(
+                self._G, dim=self._dim, k=self._k, cg_tol=self._tol,
+                fast_computation=self._fast,
+                max_solves_per_alpha=self._solves,
+                max_alpha_rounds=self._rounds, seed=self._seed,
+            )
+
+        def getCoordinates(self) -> list[list[float]]:
+            rows = self._require_run().orderBy("id").collect()
+            return [
+                [float(r[f"c{d}"]) for d in range(self._dim)] for r in rows
+            ]
+
+        def computeScalingFactor(self) -> float:
+            from networkit_spark.operators.layout import compute_scaling_factor
+
+            return compute_scaling_factor(
+                self._G, self._require_run(), dim=self._dim, k=self._k
+            )
+
+        def scaleLayout(self):
+            from networkit_spark.operators.layout import scale_layout
+
+            s = self.computeScalingFactor()
+            old = self._require_run()
+            self._frame = scale_layout(old, s, dim=self._dim).persist()
+            self._frame.count()
+            old.unpersist()
+            return self
+
     class PostscriptWriter:
         """PostscriptWriter.cpp:38 — write(g, coordinates, path)."""
 

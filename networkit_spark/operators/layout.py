@@ -259,6 +259,488 @@ _PS_MACROS = (
 )
 
 
+# ------------------------------------------------------------ maxent-stress
+def _dist_expr(dim: int, a: str, b: str):
+    """Euclidean distance between wide coordinate rows `{a}{d}` / `{b}{d}`."""
+    s = F.lit(0.0)
+    for d in range(dim):
+        diff = F.col(f"{a}{d}") - F.col(f"{b}{d}")
+        s = s + diff * diff
+    return F.sqrt(s)
+
+
+def known_distances(graph: GraphDF, k: int = 1) -> DataFrame:
+    """The maxent-stress known-distance set S as a SYMMETRIC (u, v, d)
+    frame — MaxentStress::computeKnownDistances (viz/MaxentStress.cpp:453-
+    493, EDGE_WEIGHT mode): direct neighbors at their edge weight, plus for
+    k > 1 the BFS k-neighborhood at hop-count distance (the reference's
+    addKNeighborhoodOfVertex uses BFS depth even on weighted graphs,
+    MaxentStress.cpp:495-540). Multi-edges collapse to the min distance.
+
+    Scale shape: each hop level is one |S|⋈|E| join + a min-agg — the
+    k-shell is materialized once before the solve loop, never per solve.
+    """
+    nbr = (
+        graph.E_sym.filter("src != dst")
+        .groupBy(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .agg(F.min("weight").alias("d"))
+    )
+    if k <= 1:
+        return nbr
+    adj = nbr.select("u", "v").persist()
+    # hop-distance closure up to depth k (depth 1 = adjacency)
+    shell = adj.select("u", "v", F.lit(1).alias("h"))
+    for _ in range(k - 1):
+        nxt = (
+            shell.join(
+                adj.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+            )
+            .filter(F.col("w") != F.col("u"))
+            .select("u", F.col("w").alias("v"), (F.col("h") + 1).alias("h"))
+        )
+        shell = (
+            shell.union(nxt).groupBy("u", "v").agg(F.min("h").alias("h"))
+        ).localCheckpoint(eager=True)
+    out = (
+        shell.join(nbr, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("d", F.col("h").cast("double")).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    return out
+
+
+def stress_measure(known: DataFrame, coords: DataFrame, dim: int) -> float:
+    """Σ_{(u,v)∈S} (1/d²)·(‖x_u − x_v‖ − d)² over the symmetric set —
+    MaxentStress::fullStressMeasure (viz/MaxentStress.cpp:237-262; the
+    reference also iterates the per-node forward lists, so every unordered
+    pair counts twice there and here)."""
+    cu = coords.select(
+        F.col("id").alias("u"), *[F.col(f"c{d}").alias(f"a{d}") for d in range(dim)]
+    )
+    cv = coords.select(
+        F.col("id").alias("v"), *[F.col(f"c{d}").alias(f"b{d}") for d in range(dim)]
+    )
+    row = (
+        known.join(cu, "u")
+        .join(cv, "v")
+        .select(
+            (
+                (F.lit(1.0) / (F.col("d") * F.col("d")))
+                * F.pow(_dist_expr(dim, "a", "b") - F.col("d"), F.lit(2.0))
+            ).alias("s")
+        )
+        .agg(F.sum("s").alias("s"))
+        .collect()[0]
+    )
+    return float(row["s"] or 0.0)
+
+
+def _grid_repulsion(
+    coords: DataFrame, dim: int, q: float, cells_per_dim: int
+) -> DataFrame:
+    """Approximate maxent repulsive forces, normalized to unit L2 per dim —
+    MaxentStress::approxRepulsiveForces (viz/MaxentStress.cpp:428-452).
+
+    The reference aggregates far nodes through an octree (Barnes–Hut);
+    the distributed analog is a ONE-LEVEL GRID: bucket nodes into
+    cells_per_dim^dim cells (two scalar aggs for the extent, one groupBy
+    for per-cell count + centroid — ≤ 4³ = 64 rows), then evaluate every
+    node against the cell table embedded as a LITERAL ARRAY — a pure
+    column expression, zero joins, zero shuffle. Like the reference's
+    approximation (and unlike its exact path) the sum runs over ALL mass,
+    known pairs included; cells closer than 1e-5 are skipped
+    (MaxentStress.cpp:436). factor = sign(q)·count/sqDist^((q+2)/2),
+    sign(0) = +1 (MaxentStress.hpp:313-316)."""
+    q2 = (q + 2.0) / 2.0
+    ext = coords.agg(
+        *[F.min(f"c{d}").alias(f"mn{d}") for d in range(dim)],
+        *[F.max(f"c{d}").alias(f"mx{d}") for d in range(dim)],
+    ).collect()[0]
+    cell_id = F.lit(0)
+    for d in range(dim):
+        mn, mx = float(ext[f"mn{d}"]), float(ext[f"mx{d}"])
+        span = (mx - mn) or 1.0
+        idx = F.least(
+            F.lit(cells_per_dim - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(f"c{d}") - F.lit(mn)) / F.lit(span) * cells_per_dim),
+            ),
+        )
+        cell_id = cell_id * cells_per_dim + idx
+    cells = (
+        coords.groupBy(cell_id.alias("cell"))
+        .agg(
+            F.count("*").alias("cnt"),
+            *[F.avg(f"c{d}").alias(f"g{d}") for d in range(dim)],
+        )
+        .collect()
+    )
+    cell_lit = F.array(
+        *[
+            F.struct(
+                F.lit(float(r["cnt"])).alias("cnt"),
+                *[F.lit(float(r[f"g{d}"])).alias(f"g{d}") for d in range(dim)],
+            )
+            for r in cells
+        ]
+    )
+
+    def force(d: int):
+        def term(c):
+            sq = F.lit(0.0)
+            for dd in range(dim):
+                diff = F.col(f"c{dd}") - c[f"g{dd}"]
+                sq = sq + diff * diff
+            return F.when(
+                sq < 1e-5, F.lit(0.0)
+            ).otherwise(
+                c["cnt"] / F.pow(sq, F.lit(q2)) * (F.col(f"c{d}") - c[f"g{d}"])
+            )
+
+        return F.aggregate(
+            cell_lit, F.lit(0.0), lambda acc, c: acc + term(c)
+        ).alias(f"r{d}")
+
+    rep = coords.select("id", *[force(d) for d in range(dim)])
+    norms = rep.agg(
+        *[F.sqrt(F.sum(F.col(f"r{d}") * F.col(f"r{d}"))).alias(f"n{d}") for d in range(dim)]
+    ).collect()[0]
+    return rep.select(
+        "id",
+        *[
+            (F.col(f"r{d}") / F.lit(max(float(norms[f"n{d}"] or 0.0), 1e-300))).alias(
+                f"r{d}"
+            )
+            for d in range(dim)
+        ],
+    )
+
+
+def _exact_repulsion(
+    coords: DataFrame, known: DataFrame, dim: int, q: float
+) -> DataFrame:
+    """Exact repulsion — MaxentStress::computeRepulsiveForces
+    (viz/MaxentStress.cpp:397-427): all non-known pairs, sqDist floored at
+    1e-3, normalized per dim. All-pairs (fixture/test tier; the grid
+    approximation is the scale path, exactly as octree-vs-exact in the
+    reference)."""
+    q2 = (q + 2.0) / 2.0
+    a = coords.select(
+        F.col("id").alias("u"), *[F.col(f"c{d}").alias(f"a{d}") for d in range(dim)]
+    )
+    b = coords.select(
+        F.col("id").alias("v"), *[F.col(f"c{d}").alias(f"b{d}") for d in range(dim)]
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("u") != F.col("v"))
+        .join(known.select("u", "v"), ["u", "v"], "left_anti")
+    )
+    sq = F.lit(0.0)
+    for d in range(dim):
+        diff = F.col(f"a{d}") - F.col(f"b{d}")
+        sq = sq + diff * diff
+    sq = F.greatest(sq, F.lit(1e-3))
+    rep = pairs.groupBy(F.col("u").alias("id")).agg(
+        *[
+            F.sum(
+                F.lit(1.0) / F.pow(sq, F.lit(q2)) * (F.col(f"a{d}") - F.col(f"b{d}"))
+            ).alias(f"r{d}")
+            for d in range(dim)
+        ]
+    )
+    norms = rep.agg(
+        *[F.sqrt(F.sum(F.col(f"r{d}") * F.col(f"r{d}"))).alias(f"n{d}") for d in range(dim)]
+    ).collect()[0]
+    return rep.select(
+        "id",
+        *[
+            (F.col(f"r{d}") / F.lit(max(float(norms[f"n{d}"] or 0.0), 1e-300))).alias(
+                f"r{d}"
+            )
+            for d in range(dim)
+        ],
+    )
+
+
+def maxent_stress(
+    graph: GraphDF,
+    dim: int = 2,
+    k: int = 1,
+    q: float | None = None,
+    alpha: float = 1.0,
+    alpha_reduction: float = 0.3,
+    final_alpha: float = 0.008,
+    max_solves_per_alpha: int = 5,
+    max_alpha_rounds: int = 5,
+    fast_computation: bool = False,
+    seed: int = 42,
+    cg_tol: float = 1e-6,
+    cg_max_iterations: int = 200,
+    repulsion: str = "grid",
+    cells_per_dim: int = 4,
+    skip_connectivity_check: bool = False,
+) -> DataFrame:
+    """(id, c0, …, c{dim-1}) — Maxent-Stress layout (Gansner–Hu–North),
+    MaxentStress::run (viz/MaxentStress.cpp:61-186).
+
+    The reference solves L_w x = rhs per dimension with LAMG, where
+    L_w is the Laplacian of the known-distance set S at weights
+    w_uv = 1/d² (MaxentStress.hpp:300-307) and
+    rhs = stress term + α·(maxent repulsion), cooling α by
+    `alpha_reduction` per round. Spark-first mapping:
+
+      * the dim right-hand sides ride ONE batched conjugate-gradient
+        solve (operators/resistance.laplacian_cg, sys = dimension) —
+        the repo's distributed stand-in for LAMG;
+      * stress rhs (computeCoordinateLaplacianTerm, MaxentStress.cpp:377-
+        396): one S⋈coords⋈coords join + groupBy(u) per solve, with
+        w = (1/d²)·d/max(‖x_u−x_v‖, 1e-5) exactly as :384 (including
+        the reference's deliberate paper deviation noted there);
+      * rhs dims are L2-normalized for the first ⌈solves/5⌉ solves and
+        zero-summed (:126-147; laplacian_cg mean-centers b, which IS the
+        zero-sum correction);
+      * repulsive forces refresh only when ⌊5·ln(numSolves)⌋ changes
+        (:105-112), grid-approximated (octree analog) or exact;
+      * α cools ×alpha_reduction per round until < final_alpha (:165);
+        with fast_computation the loop exits on the relative-change
+        convergence test isConverged (:327-339), else it runs the full
+        round like the reference.
+
+    Determinism: init coordinates come from the repo's LCG on (id, d)
+    projected to the unit sphere (randomSphereCoordinates :644 uses the
+    process RNG; layouts are coordinate-free up to rotation, so tests pin
+    stress values, not coordinates). Bounded supersteps throughout —
+    every solve truncates lineage via laplacian_cg's internal checkpoints
+    plus one per-solve coordinate checkpoint.
+
+    Raises ValueError on disconnected input like the reference (:62-67).
+    """
+    from networkit_spark.operators.components import weakly_connected_components
+    from networkit_spark.operators.resistance import laplacian_cg
+
+    if not skip_connectivity_check:
+        n_comp = (
+            weakly_connected_components(graph)
+            .agg(F.countDistinct("component").alias("c"))
+            .collect()[0]["c"]
+        )
+        if n_comp > 1:
+            raise ValueError(
+                "The supplied graph is not connected. MaxentStress only "
+                "handles connected graphs (MaxentStress.cpp:62-67)."
+            )
+
+    known = known_distances(graph, k).persist()
+    known.count()
+
+    if q is None:
+        # >30% degree-1 vertices → q = 0.8 (MaxentStress.cpp:485-493)
+        deg = known.groupBy("u").count()
+        n_all = graph.number_of_nodes()
+        deg1 = deg.filter("count = 1").count()
+        q = 0.8 if n_all and deg1 / n_all > 0.3 else 0.0
+
+    # Laplacian of S at w = 1/d² (canonical u<v half; E_sym re-symmetrizes)
+    lap_graph = GraphDF.from_edges(
+        known.filter("u < v").select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            (F.lit(1.0) / (F.col("d") * F.col("d"))).alias("weight"),
+        ),
+        weighted=True,
+        vertices=graph.V,
+        canonicalize=False,
+    )
+
+    # LCG unit-sphere init
+    raw = [
+        (2.0 / LCG_M) * lcg_priority(F.col("id"), seed + 7919 * d) - 1.0
+        for d in range(dim)
+    ]
+    nrm = F.sqrt(sum((r * r for r in raw), F.lit(0.0)))
+    coords = graph.V.select(
+        "id",
+        *[
+            (r / F.when(nrm < 1e-12, F.lit(1.0)).otherwise(nrm)).alias(f"c{d}")
+            for d, r in enumerate(raw)
+        ],
+    ).localCheckpoint(eager=True)
+
+    cur_alpha = alpha
+    converged = False
+    rep = None
+    rep_bound = None
+    for _round in range(max_alpha_rounds):
+        for num_solves in range(max_solves_per_alpha):
+            bound = math.floor(5.0 * math.log(num_solves)) if num_solves else -1
+            if rep is None or bound != rep_bound:
+                rep = (
+                    _grid_repulsion(coords, dim, q, cells_per_dim)
+                    if repulsion == "grid"
+                    else _exact_repulsion(coords, known, dim, q)
+                ).localCheckpoint(eager=True)
+                rep_bound = bound
+
+            # stress term of the rhs (MaxentStress.cpp:377-396)
+            cu = coords.select(
+                F.col("id").alias("u"),
+                *[F.col(f"c{d}").alias(f"a{d}") for d in range(dim)],
+            )
+            cv = coords.select(
+                F.col("id").alias("v"),
+                *[F.col(f"c{d}").alias(f"b{d}") for d in range(dim)],
+            )
+            w = (F.lit(1.0) / (F.col("d") * F.col("d"))) * F.col("d") / F.greatest(
+                _dist_expr(dim, "a", "b"), F.lit(1e-5)
+            )
+            rhs = (
+                known.join(cu, "u")
+                .join(cv, "v")
+                .groupBy(F.col("u").alias("id"))
+                .agg(
+                    *[
+                        F.sum(w * (F.col(f"a{d}") - F.col(f"b{d}"))).alias(f"s{d}")
+                        for d in range(dim)
+                    ]
+                )
+            )
+            if num_solves < max_solves_per_alpha / 5.0:
+                nr = rhs.agg(
+                    *[
+                        F.sqrt(F.sum(F.col(f"s{d}") * F.col(f"s{d}"))).alias(f"n{d}")
+                        for d in range(dim)
+                    ]
+                ).collect()[0]
+                rhs = rhs.select(
+                    "id",
+                    *[
+                        (
+                            F.col(f"s{d}")
+                            / F.lit(max(float(nr[f"n{d}"] or 0.0), 1e-300))
+                        ).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+            b_wide = graph.V.join(rhs, "id", "left").join(rep, "id", "left")
+            b = None
+            for d in range(dim):
+                part = b_wide.select(
+                    F.lit(d).alias("sys"),
+                    "id",
+                    (
+                        F.coalesce(f"s{d}", F.lit(0.0))
+                        + F.lit(float(cur_alpha)) * F.coalesce(f"r{d}", F.lit(0.0))
+                    ).alias("b"),
+                )
+                b = part if b is None else b.union(part)
+
+            x = laplacian_cg(lap_graph, b, tol=cg_tol, max_iterations=cg_max_iterations)
+            new_coords = (
+                x.groupBy("id")
+                .pivot("sys", list(range(dim)))
+                .agg(F.first("x"))
+                .select(
+                    "id",
+                    *[
+                        F.coalesce(F.col(str(d)), F.lit(0.0)).alias(f"c{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+
+            # isConverged (MaxentStress.cpp:327-339)
+            j = coords.join(
+                new_coords.select(
+                    "id", *[F.col(f"c{d}").alias(f"n{d}") for d in range(dim)]
+                ),
+                "id",
+            )
+            chg_expr = sum(
+                (
+                    (F.col(f"c{d}") - F.col(f"n{d}"))
+                    * (F.col(f"c{d}") - F.col(f"n{d}"))
+                    for d in range(dim)
+                ),
+                F.lit(0.0),
+            )
+            len_expr = sum(
+                (F.col(f"c{d}") * F.col(f"c{d}") for d in range(dim)), F.lit(0.0)
+            )
+            conv_row = j.agg(
+                F.sum(chg_expr).alias("chg"), F.sum(len_expr).alias("len")
+            ).collect()[0]
+            rel = float(conv_row["chg"]) / max(float(conv_row["len"]), 1e-300)
+            coords = new_coords
+            converged = rel < 0.001 * 0.001
+            if converged and fast_computation:
+                break
+        cur_alpha *= alpha_reduction
+        if (converged and fast_computation) or cur_alpha < final_alpha:
+            break
+    known.unpersist()
+    return coords
+
+
+def compute_scaling_factor(
+    graph: GraphDF,
+    coords: DataFrame,
+    dim: int = 2,
+    k: int = 1,
+    max_sssp_iterations: int = 10_000,
+) -> float:
+    """s minimizing Σ (s·‖x_u − x_v‖ − d_uv)² over ALL pairs at
+    S-augmented-graph distances = Σ(geo/d) / Σ(geo²/d²) —
+    MaxentStress::computeScalingFactor (viz/MaxentStress.cpp:189-224).
+    One batched all-sources SSSP (the reference also runs n SSSPs)."""
+    known = known_distances(graph, k)
+    aug = GraphDF.from_edges(
+        known.filter("u < v").select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), F.col("d").alias("weight")
+        ),
+        weighted=True,
+        vertices=graph.V,
+        canonicalize=False,
+    )
+    sources = [int(r["id"]) for r in graph.V.select("id").collect()]
+    dist = sssp_multi_distances(aug, sources, max_iterations=max_sssp_iterations)
+    cu = coords.select(
+        F.col("id").alias("source"),
+        *[F.col(f"c{d}").alias(f"a{d}") for d in range(dim)],
+    )
+    cv = coords.select(
+        "id", *[F.col(f"c{d}").alias(f"b{d}") for d in range(dim)]
+    )
+    geo = _dist_expr(dim, "a", "b")
+    row = (
+        dist.filter(F.col("dist") >= 1e-5)
+        .join(cu, "source")
+        .join(cv, "id")
+        .agg(
+            F.sum(geo / F.col("dist")).alias("top"),
+            F.sum((geo * geo) / (F.col("dist") * F.col("dist"))).alias("bot"),
+        )
+        .collect()[0]
+    )
+    bot = float(row["bot"] or 0.0)
+    return float(row["top"] or 0.0) / bot if bot else 1.0
+
+
+def scale_layout(coords: DataFrame, s: float, dim: int = 2) -> DataFrame:
+    """Apply the scalar from compute_scaling_factor —
+    MaxentStress::scaleLayout (viz/MaxentStress.cpp:226-235)."""
+    return coords.select(
+        "id", *[(F.col(f"c{d}") * F.lit(float(s))).alias(f"c{d}") for d in range(dim)]
+    )
+
+
 def write_postscript(
     graph: GraphDF,
     coordinates: DataFrame,

@@ -250,6 +250,172 @@ def test_scipy_pagerank_matches_numpy_fixpoint(spark):
     assert np.allclose(got, x, atol=1e-8)
 
 
+# --------------------------------------------------------- maxent-stress
+def _numpy_maxent(n, edges, dim, seed, max_solves, max_rounds, q=0.0,
+                  alpha=1.0, alpha_reduction=0.3, final_alpha=0.008):
+    """Driver-free twin of MaxentStress::run (viz/MaxentStress.cpp:61-186)
+    at k=1 with EXACT repulsion and pinv Laplacian solves (CG from x0=0 on
+    mean-centered rhs converges to the same pseudo-inverse solution)."""
+    known = {}
+    for u, v in edges:
+        known[(u, v)] = min(known.get((u, v), 1.0), 1.0)
+        known[(v, u)] = min(known.get((v, u), 1.0), 1.0)
+    L = np.zeros((n, n))
+    for (u, v), d in known.items():
+        w = 1.0 / (d * d)
+        L[u, v] -= w
+        L[u, u] += w
+    Lp = np.linalg.pinv(L)
+
+    raw = np.zeros((n, dim))
+    for d in range(dim):
+        for i in range(n):
+            raw[i, d] = 2.0 / LCG_M * _lcg_priority(i, seed + 7919 * d) - 1.0
+    nrm = np.sqrt((raw * raw).sum(axis=1))
+    nrm = np.where(nrm < 1e-12, 1.0, nrm)
+    X = raw / nrm[:, None]
+
+    def exact_rep(X):
+        b = np.zeros((n, dim))
+        q2 = (q + 2.0) / 2.0
+        for i in range(n):
+            for j in range(n):
+                if i == j or (i, j) in known:
+                    continue
+                sq = max(((X[i] - X[j]) ** 2).sum(), 1e-3)
+                b[i] += 1.0 / sq**q2 * (X[i] - X[j])
+        col = np.sqrt((b * b).sum(axis=0))
+        return b / np.maximum(col, 1e-300)[None, :]
+
+    cur_alpha = alpha
+    rep, rep_bound = None, None
+    for _round in range(max_rounds):
+        for s in range(max_solves):
+            bound = math.floor(5.0 * math.log(s)) if s else -1
+            if rep is None or bound != rep_bound:
+                rep, rep_bound = exact_rep(X), bound
+            rhs = np.zeros((n, dim))
+            for (u, v), dd in known.items():
+                dist = max(np.linalg.norm(X[u] - X[v]), 1e-5)
+                w = (1.0 / (dd * dd)) * dd / dist
+                rhs[u] += w * (X[u] - X[v])
+            if s < max_solves / 5.0:
+                col = np.sqrt((rhs * rhs).sum(axis=0))
+                rhs = rhs / np.maximum(col, 1e-300)[None, :]
+            b = rhs + cur_alpha * rep
+            b = b - b.mean(axis=0, keepdims=True)
+            X = Lp @ b
+        cur_alpha *= alpha_reduction
+        if cur_alpha < final_alpha:
+            break
+    return X
+
+
+def test_maxent_stress_matches_numpy_twin(spark):
+    from networkit_spark.operators.layout import maxent_stress
+
+    g = _karate(spark)
+    out = (
+        maxent_stress(
+            g, dim=2, k=1, seed=42, max_solves_per_alpha=2, max_alpha_rounds=1,
+            repulsion="exact", cg_tol=1e-10, cg_max_iterations=200,
+        )
+        .orderBy("id")
+        .collect()
+    )
+    got = np.array([[r["c0"], r["c1"]] for r in out])
+    want = _numpy_maxent(
+        KARATE_N, KARATE_EDGES, dim=2, seed=42, max_solves=2, max_rounds=1
+    )
+    assert got.shape == (KARATE_N, 2)
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_maxent_stress_reduces_stress(spark):
+    from networkit_spark.operators.layout import (
+        known_distances,
+        maxent_stress,
+        stress_measure,
+    )
+    from networkit_spark.functions.sampling import lcg_priority
+    from pyspark.sql import functions as F
+
+    g = _karate(spark)
+    known = known_distances(g, k=1)
+    # the operator's own LCG unit-sphere init is the random baseline
+    raw = [
+        (2.0 / LCG_M) * lcg_priority(F.col("id"), 42 + 7919 * d) - 1.0
+        for d in range(2)
+    ]
+    nrm = F.sqrt(sum((r * r for r in raw), F.lit(0.0)))
+    init = g.V.select(
+        "id",
+        *[
+            (r / F.when(nrm < 1e-12, F.lit(1.0)).otherwise(nrm)).alias(f"c{d}")
+            for d, r in enumerate(raw)
+        ],
+    )
+    s0 = stress_measure(known, init, dim=2)
+    final = maxent_stress(
+        g, dim=2, seed=42, max_solves_per_alpha=3, max_alpha_rounds=2,
+        repulsion="grid",
+    )
+    s1 = stress_measure(known, final, dim=2)
+    assert s1 < 0.5 * s0
+
+
+def test_maxent_stress_disconnected_raises(spark):
+    from networkit_spark.operators.layout import maxent_stress
+
+    g = GraphDF.from_edge_list(spark, [(0, 1), (2, 3)], num_nodes=4)
+    with pytest.raises(ValueError, match="not connected"):
+        maxent_stress(g)
+
+
+def test_known_distances_k2(spark):
+    from networkit_spark.operators.layout import known_distances
+
+    # path 0-1-2-3: hop-2 shell pairs get BFS depth 2.0
+    g = GraphDF.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    rows = {
+        (r["u"], r["v"]): r["d"] for r in known_distances(g, k=2).collect()
+    }
+    assert rows[(0, 1)] == 1.0 and rows[(1, 0)] == 1.0
+    assert rows[(0, 2)] == 2.0 and rows[(2, 0)] == 2.0
+    assert rows[(1, 3)] == 2.0
+    assert (0, 3) not in rows  # hop 3 excluded at k=2
+
+
+def test_scaling_factor_recovers_scale(spark):
+    from networkit_spark.operators.layout import (
+        compute_scaling_factor,
+        scale_layout,
+    )
+
+    # path graph laid out at exactly half its graph distances → s = 2
+    g = GraphDF.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    coords = spark.createDataFrame(
+        [(i, 0.5 * i, 0.0) for i in range(4)], "id long, c0 double, c1 double"
+    )
+    s = compute_scaling_factor(g, coords, dim=2)
+    assert abs(s - 2.0) < 1e-9
+    scaled = {r["id"]: r["c0"] for r in scale_layout(coords, s).collect()}
+    assert abs(scaled[3] - 3.0) < 1e-9
+
+
+def test_compat_maxent_stress_facade(spark):
+    import networkit_spark.compat as nk
+
+    g = _karate(spark)
+    ms = nk.viz.MaxentStress(
+        g, dim=2, k=1, tolerance=1e-6, maxSolvesPerAlpha=2, maxAlphaRounds=1
+    ).run()
+    coords = ms.getCoordinates()
+    assert len(coords) == KARATE_N and len(coords[0]) == 2
+    ms.scaleLayout()
+    assert len(ms.getCoordinates()) == KARATE_N
+
+
 def test_compat_pivot_mds_facade(spark, tmp_path):
     import networkit_spark.compat as nk
 

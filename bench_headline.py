@@ -87,7 +87,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     md = [
-        "# BENCH/HEADLINE — clean per-kernel medians",
+        "",
+        "## Remeasure — clean per-kernel medians",
         "",
         f"Protocol: one kernel per fresh JVM (subprocess), {args.warmups} warmup +",
         f"{args.trials} timed trials, median reported; local[{cpus}] on {sf_dir};",
@@ -103,7 +104,8 @@ def main() -> None:
         )
     md += ["", f"raw: {json.dumps(summary)}", ""]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "HEADLINE.md"), "w") as f:
+    # append — earlier rounds' sections are the measurement history
+    with open(os.path.join(REPO, "BENCH", "HEADLINE.md"), "a") as f:
         f.write("\n".join(md))
 
 

@@ -46,9 +46,11 @@ def _forward_levels(
     levels = [lvl0]
     visited = lvl0.select("source", "id").localCheckpoint(eager=True)
     frontier = lvl0
+    fcount = None  # carried from the previous level's materializing count
     for _ in range(max_depth):
         f = frontier.select("source", "id", "sigma")
-        fcount = f.count()
+        if fcount is None:
+            fcount = f.count()
         if fcount == 0:
             break
         if fcount <= broadcast_frontier_threshold:
@@ -59,13 +61,19 @@ def _forward_levels(
             .agg(F.sum("sigma").alias("sigma"))
             .withColumnRenamed("nid", "id")
         )
+        # lazy plan break: ONE count job per level both truncates lineage
+        # and carries the next iteration's frontier size (the single-job
+        # superstep pattern — see BENCH/BASELINE.md; eager checkpoints here
+        # cost a second full job per level)
         nxt = nxt.join(visited, ["source", "id"], "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        if nxt.count() == 0:
+        fcount = nxt.count()
+        if fcount == 0:
             break
+        # materializes inside the NEXT level's anti-join/count job
         visited = visited.unionByName(nxt.select("source", "id")).localCheckpoint(
-            eager=True
+            eager=False
         )
         levels.append(nxt)
         frontier = nxt
@@ -78,9 +86,13 @@ def _dependency_sweep(
     """Backward accumulation. Returns (source, id, delta) over all visited
     (source, node) pairs. δ at the deepest level is 0; at depth d,
     δ[u] = Σ_{(u,v)∈E, dist(v)=d+1} σ_u/σ_v · (1 + δ_v)."""
+    # Every checkpoint below is LAZY: the plan break is immediate, and the
+    # whole backward sweep materializes in the ONE job the caller's final
+    # aggregation launches — each level's RDD computes once there and is
+    # shared by its two consumers (the union and the next level's join).
     deepest = levels[-1].select(
         "source", "id", "sigma", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = deepest
     below = deepest  # (source, id, sigma, delta) at depth d+1
     for lvl in reversed(levels[:-1]):
@@ -109,7 +121,7 @@ def _dependency_sweep(
             .select(
                 "source", "id", "sigma", F.coalesce("dep", F.lit(0.0)).alias("delta")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(cur)
         below = cur
@@ -151,6 +163,9 @@ def betweenness(
         if not graph.directed:
             pairs = pairs / 2
         out = out.select("id", (F.col("score") / F.lit(float(max(pairs, 1)))).alias("score"))
+    # the ONE job that runs the whole lazy backward sweep — must precede
+    # the edge-cache release
+    out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out
 
@@ -192,9 +207,11 @@ def estimate_betweenness(
     # backward sweep with the dist(p)/dist(t) factor: at depth d the factor
     # is d/(d+1)
     deepest_d = len(levels) - 1
+    # lazy plan breaks — the whole backward sweep rides the final score
+    # aggregation's single job (see _dependency_sweep)
     out = levels[-1].select(
         "source", "id", "sigma", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     below = out
     acc = out.select("source", "id", "delta")
     for d in range(deepest_d - 1, -1, -1):
@@ -228,7 +245,7 @@ def estimate_betweenness(
             .select(
                 "source", "id", "sigma", F.coalesce("dep", F.lit(0.0)).alias("delta")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         acc = acc.unionByName(cur.select("source", "id", "delta"))
         below = cur
@@ -248,6 +265,9 @@ def estimate_betweenness(
         if not graph.directed:
             pairs = pairs / 2
         out = out.select("id", (F.col("score") / F.lit(float(max(pairs, 1)))).alias("score"))
+    # the ONE job that runs the whole lazy backward sweep — must precede
+    # the edge-cache release
+    out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out
 

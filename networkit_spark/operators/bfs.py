@@ -53,10 +53,12 @@ def bfs_distances(
         eager=True
     )
     depth = 0
+    fcount = None  # carried from the previous level's materializing count
     while depth < max_depth:
         depth += 1
         f = frontier
-        fcount = f.count()
+        if fcount is None:
+            fcount = f.count()
         if fcount == 0:
             break
         if fcount <= broadcast_frontier_threshold:
@@ -66,15 +68,22 @@ def bfs_distances(
             .select("source", F.col("dst").alias("id"))
             .distinct()
         )
+        # single-job superstep (see BENCH/HEADLINE.md lazy-sweep A/B): ONE
+        # count job per level both truncates lineage and carries the next
+        # frontier size; the lazy visited break materializes inside the
+        # next level's anti-join.
         nxt = nxt.join(
             visited.select("source", "id"), ["source", "id"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if nxt.count() == 0:
+        ).localCheckpoint(eager=False)
+        fcount = nxt.count()
+        if fcount == 0:
             break
         visited = visited.unionByName(
             nxt.withColumn("dist", F.lit(depth).cast("long"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = nxt
+    # materialize the lazy union chain before releasing the edge cache
+    visited = visited.localCheckpoint(eager=True)
     edges.unpersist()
     return visited
 
@@ -376,6 +385,7 @@ def sssp_distances(
             "dist"
         ),
     ).localCheckpoint(eager=True)
+    prev_cache = None
     for _ in range(max_iterations):
         cand = (
             edges.join(dist, edges.src == dist.id)
@@ -401,12 +411,20 @@ def sssp_distances(
         n_changed = int(
             joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
         )
+        # lazy plan break: materializes from the joined cache inside the
+        # NEXT relax sweep's agg job (single-job superstep); the backing
+        # cache is therefore released one sweep late.
         dist = joined.select("id", F.col("new_dist").alias("dist")).localCheckpoint(
-            eager=True
+            eager=False
         )
-        joined.unpersist()
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = joined
         if n_changed == 0:
             break
+    dist = dist.localCheckpoint(eager=True)
+    if prev_cache is not None:
+        prev_cache.unpersist()
     edges.unpersist()
     return dist
 
@@ -516,6 +534,7 @@ def sssp_multi_distances(
             [(int(s), int(s), 0.0) for s in sources],
             "source long, id long, dist double",
         ).localCheckpoint(eager=True)
+    prev_cache = None
     for _ in range(max_iterations):
         cand = (
             edges.join(dist, edges.src == dist.id)
@@ -542,12 +561,18 @@ def sssp_multi_distances(
         n_changed = int(
             joined.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
         )
+        # lazy plan break + one-sweep-late cache release (see sssp_distances)
         dist = joined.select(
             "source", "id", F.col("new_dist").alias("dist")
-        ).localCheckpoint(eager=True)
-        joined.unpersist()
+        ).localCheckpoint(eager=False)
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = joined
         if n_changed == 0:
             break
+    dist = dist.localCheckpoint(eager=True)
+    if prev_cache is not None:
+        prev_cache.unpersist()
     edges.unpersist()
     return dist
 

@@ -126,7 +126,10 @@ class DynPageRank(DynAlgorithm):
 class DynConnectedComponents(DynAlgorithm):
     """Addition-only batches merge on the CONTRACTED component graph
     (incremental_wcc_additions — O(#touched components) state, the
-    DynConnectedComponents.cpp addEdge path); anything else recomputes."""
+    DynConnectedComponents.cpp addEdge path); removal-only batches
+    re-derive connectivity inside the touched components only
+    (incremental_wcc_removals, the removeEdge split check); mixed or
+    node-event batches recompute."""
 
     def _solve(self) -> None:
         from networkit_spark.operators.components import (
@@ -142,18 +145,26 @@ class DynConnectedComponents(DynAlgorithm):
         self.result = fn(self.graph).localCheckpoint(eager=True)
 
     def _update_incremental(self, old_graph, events, types) -> bool:
-        if not types <= {"EDGE_ADDITION", "EDGE_WEIGHT_UPDATE",
-                         "EDGE_WEIGHT_INCREMENT"}:
-            return False
-        if "EDGE_ADDITION" not in types:
+        weight_only = {"EDGE_WEIGHT_UPDATE", "EDGE_WEIGHT_INCREMENT"}
+        if types <= weight_only:
             return True  # weight-only batch: components unchanged
-        new_edges = _canonical_batch_edges(
-            events, "EDGE_ADDITION", self.graph.directed
-        )
-        self.result = incremental_wcc_additions(
-            self.result, new_edges
-        ).localCheckpoint(eager=True)
-        return True
+        if types <= ({"EDGE_ADDITION"} | weight_only):
+            new_edges = _canonical_batch_edges(
+                events, "EDGE_ADDITION", self.graph.directed
+            )
+            self.result = incremental_wcc_additions(
+                self.result, new_edges
+            ).localCheckpoint(eager=True)
+            return True
+        if types <= ({"EDGE_REMOVAL"} | weight_only):
+            removed = _canonical_batch_edges(
+                events, "EDGE_REMOVAL", self.graph.directed
+            )
+            self.result = incremental_wcc_removals(
+                self.result, self.graph, removed
+            ).localCheckpoint(eager=True)
+            return True
+        return False
 
 
 class DynTriangleCount(DynAlgorithm):
@@ -354,6 +365,74 @@ def incremental_wcc_additions(
         F.coalesce("new_c", "component").alias("label"),
     )
     return renumber_dense_by_min_id(updated)
+
+
+def incremental_wcc_removals(
+    labels: DataFrame,
+    graph_new: GraphDF,
+    removed_edges: DataFrame,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """DynConnectedComponents incremental REMOVAL path
+    (components/DynConnectedComponents.cpp:118-152 removeEdge: a deleted
+    edge can only SPLIT the component that contained it, so the reference
+    re-checks reachability INSIDE that component). Distributed analog:
+    re-derive connectivity only within the components touched by the
+    batch — the hash-min fixpoint runs on O(Σ|affected components|)
+    state, never |V|; untouched components pass through as single
+    semi-/anti-join scans with no supersteps.
+
+    labels: (id, component) BEFORE the batch; graph_new: the graph AFTER
+    the removals; removed_edges: (src, dst). Returns the updated
+    (id, component) under the dense-rank-of-min-id contract. Untouched
+    components are re-keyed by their min node id (one aggregation pass)
+    so new split components interleave into the dense ranking exactly
+    where a cold recompute would place them.
+    """
+    from networkit_spark.operators.components import (
+        _hash_min_fixpoint,
+        renumber_dense_by_min_id,
+    )
+
+    ends = (
+        removed_edges.select(F.col("src").alias("id"))
+        .union(removed_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # a delta batch touches few components: the affected set broadcasts
+    affected = labels.join(ends, "id", "left_semi").select("component").distinct()
+    sub_v = (
+        labels.join(F.broadcast(affected), "component", "left_semi")
+        .select("id")
+        .persist()
+    )
+    if sub_v.limit(1).count() == 0:
+        return labels
+    # components are edge-closed: filtering src to the affected vertex set
+    # keeps every intra-component edge (dst is in the same component)
+    sub_e = (
+        graph_new.E_sym.select("src", "dst")
+        .filter("src != dst")
+        .join(sub_v.withColumnRenamed("id", "src"), "src", "left_semi")
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    relabeled = _hash_min_fixpoint(sub_e, sub_v, max_iterations)
+    # untouched labels are dense component ids, relabeled ones are min
+    # node ids — re-key the untouched side to min node ids so both sides
+    # rank in one id space
+    untouched = labels.join(F.broadcast(affected), "component", "left_anti")
+    untouched_min = untouched.groupBy("component").agg(
+        F.min("id").alias("label")
+    )
+    updated = (
+        untouched.join(untouched_min, "component")
+        .select("id", "label")
+        .unionByName(relabeled.select("id", "label"))
+    )
+    out = renumber_dense_by_min_id(updated)
+    sub_v.unpersist()
+    return out
 
 
 def incremental_sssp_additions(

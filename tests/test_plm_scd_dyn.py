@@ -105,6 +105,56 @@ def test_incremental_wcc_additions(spark):
     assert same == {r["id"]: r["component"] for r in labels.collect()}
 
 
+def test_incremental_wcc_removals(spark):
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.dynamics import incremental_wcc_removals
+
+    # path 0-1-2-3 plus component 4-5; removing (1,2) SPLITS the path and
+    # the new dense ids must interleave across the untouched component
+    # ({2,3}'s min id 2 ranks BEFORE {4,5}'s min id 4)
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3), (4, 5)], num_nodes=6
+    )
+    labels = connected_components(g)
+    g_new = GraphDF.from_edge_list(
+        spark, [(0, 1), (2, 3), (4, 5)], num_nodes=6
+    )
+    rem = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in incremental_wcc_removals(labels, g_new, rem).collect()}
+    want = {r["id"]: r["component"]
+            for r in connected_components(g_new).collect()}
+    assert got == want
+    # non-splitting removal (triangle keeps its component): no change
+    g_tri = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (0, 2), (4, 5)], num_nodes=6
+    )
+    tri_labels = connected_components(g_tri)
+    g_tri_new = GraphDF.from_edge_list(
+        spark, [(1, 2), (0, 2), (4, 5)], num_nodes=6
+    )
+    same = {r["id"]: r["component"] for r in incremental_wcc_removals(
+        tri_labels, g_tri_new,
+        spark.createDataFrame([(0, 1)], "src long, dst long"),
+    ).collect()}
+    assert same == {r["id"]: r["component"] for r in tri_labels.collect()}
+
+
+def test_dyn_cc_removal_event(spark):
+    from networkit_spark.operators.components import connected_components
+
+    g = GraphDF.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3), (4, 5)], num_nodes=6
+    )
+    dyn = DynConnectedComponents(g)
+    ev = events_from_list(spark, [(0, "EDGE_REMOVAL", 1, 2, None)])
+    res = {r["id"]: r["component"] for r in dyn.update(ev).collect()}
+    want = {r["id"]: r["component"]
+            for r in connected_components(dyn.graph).collect()}
+    assert res == want
+    assert len(set(res.values())) == 3
+
+
 def test_gce_expands_seed_community(spark):
     """GCE objective-M vs a direct greedy oracle on a two-clique barbell."""
     from networkit_spark.operators.scd import gce

@@ -282,10 +282,11 @@ def q_katz_linkpred_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_linkpred_extras_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U/V-degree, total-neighbors, neighbors-measure and same-community
-    indices over the two-hop candidate pairs — five §2.7 operators in one
-    oracle-checked row set."""
+    """U/V-degree, total-neighbors, neighbors-measure, same-community and
+    adjusted-Rand indices over the two-hop candidate pairs — six §2.7
+    operators in one oracle-checked row set."""
     from networkit_spark.operators.linkprediction import (
+        adjusted_rand_link_index,
         neighbors_measure_index,
         same_community_index,
         total_neighbors_index,
@@ -304,11 +305,15 @@ def q_linkpred_extras_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nm = neighbors_measure_index(g).withColumnRenamed("score", "nbrs_measure")
     sc = same_community_index(g, plp_fixed(g, iterations=PLP_SWEEPS), pairs)
     sc = sc.withColumnRenamed("score", "same_comm")
+    ar = _round6(adjusted_rand_link_index(g), "score").withColumnRenamed(
+        "score", "adj_rand"
+    )
     return (
         ud.join(vd, ["u", "v"])
         .join(tn, ["u", "v"])
         .join(nm, ["u", "v"])
         .join(sc, ["u", "v"])
+        .join(ar, ["u", "v"])
         .orderBy("u", "v")
     )
 
@@ -1807,13 +1812,17 @@ def _katz_linkpred_sql(edges_cte: str, max_l: int, damping: float) -> str:
 
 def _linkpred_extras_sql(edges_cte: str, sweeps: int) -> str:
     """U/V-degree, total-neighbors, neighbors-measure, same-community (PLP)
-    over two-hop pairs — matches q_linkpred_extras_supplier."""
+    and adjusted-Rand over two-hop pairs — matches
+    q_linkpred_extras_supplier. adj_rand reproduces the reference's
+    set_union quirk (AdjustedRandIndex.cpp:28-31): b = c = |N(u)∪N(v)|."""
     parts = _plp_cte_parts(edges_cte, sweeps)
     parts += [
         "nb AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges"
         " WHERE src != dst UNION ALL SELECT dst, src FROM edges"
         " WHERE src != dst)),",
         "deg2 AS (SELECT src AS id, COUNT(*) AS d FROM nb GROUP BY src),",
+        "nodecount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM"
+        " (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),",
         "hop2x AS (SELECT a.dst AS u, b.dst AS v, COUNT(*) AS common"
         " FROM nb a JOIN nb b ON a.src = b.src AND a.dst < b.dst"
         " GROUP BY 1, 2),",
@@ -1821,16 +1830,30 @@ def _linkpred_extras_sql(edges_cte: str, sweeps: int) -> str:
         " (SELECT dst AS u, src AS a FROM nb) x"
         " JOIN nb e ON e.src = x.a"
         " JOIN (SELECT src AS b, dst AS v FROM nb) y ON y.b = e.dst"
-        " WHERE x.u < y.v GROUP BY x.u, y.v)",
+        " WHERE x.u < y.v GROUP BY x.u, y.v),",
+        "arx AS (SELECT h.u, h.v,"
+        " CAST(h.common AS DOUBLE) AS a,"
+        " CAST(du.d + dv.d - h.common AS DOUBLE) AS uni,"
+        " nc.n - CAST(du.d + dv.d - h.common AS DOUBLE) AS d"
+        " FROM hop2x h CROSS JOIN nodecount nc"
+        " JOIN deg2 du ON h.u = du.id JOIN deg2 dv ON h.v = dv.id)",
         f"SELECT h.u, h.v,"
         f" CAST(du.d AS DOUBLE) AS u_deg,"
         f" CAST(dv.d AS DOUBLE) AS v_deg,"
         f" CAST(du.d + dv.d - h.common AS DOUBLE) AS total_nbrs,"
         f" CAST(h.common + COALESCE(w3x.w3, 0) AS DOUBLE) AS nbrs_measure,"
-        f" CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END AS same_comm"
+        f" CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END AS same_comm,"
+        f" CAST(ROUND(CASE WHEN ar.a * ar.uni + ar.a * ar.uni"
+        f"   + 2 * ar.a * ar.d + ar.uni * ar.uni + ar.uni * ar.d"
+        f"   + ar.uni * ar.uni + ar.uni * ar.d = 0 THEN 0.0"
+        f"  ELSE 2 * (ar.a * ar.d - ar.uni * ar.uni)"
+        f"   / (ar.a * ar.uni + ar.a * ar.uni + 2 * ar.a * ar.d"
+        f"      + ar.uni * ar.uni + ar.uni * ar.d + ar.uni * ar.uni"
+        f"      + ar.uni * ar.d) END, 6) AS DOUBLE) AS adj_rand"
         f" FROM hop2x h"
         f" JOIN deg2 du ON h.u = du.id JOIN deg2 dv ON h.v = dv.id"
         f" LEFT JOIN w3x ON h.u = w3x.u AND h.v = w3x.v"
+        f" JOIN arx ar ON h.u = ar.u AND h.v = ar.v"
         f" JOIN l{sweeps} la ON h.u = la.id JOIN l{sweeps} lb ON h.v = lb.id"
         f" ORDER BY h.u, h.v",
     ]

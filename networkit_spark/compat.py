@@ -492,6 +492,17 @@ class community:
 
             return plm(self._G, gamma=self._gamma)
 
+    class ParallelAgglomerativeClusterer(_CommunityDetector):
+        """community/ParallelAgglomerativeClusterer.cpp — PGA: score/match/
+        contract agglomeration projected back to the finest graph."""
+
+        def _compute(self):
+            from networkit_spark.operators.community import (
+                parallel_agglomerative_clusterer,
+            )
+
+            return parallel_agglomerative_clusterer(self._G)
+
     class Modularity:
         def getQuality(self, zeta: Partition, G) -> float:
             from networkit_spark.operators.community import modularity

@@ -673,6 +673,202 @@ def matching_coarsening(
     )
 
 
+# ------------------------------------------------------ GraphClusteringTools
+# community/GraphClusteringTools.cpp:20-116 — partition/graph utilities.
+
+
+def communication_graph(graph: GraphDF, partition: DataFrame) -> GraphDF:
+    """GraphClusteringTools::communicationGraph (:20-47): node per cluster
+    (compacted ids in sorted-label order, matching Partition::compact),
+    edge weight = summed weight of INTER-cluster edges; intra-cluster edges
+    dropped. One |E| join against the |V| label vector, one keyed agg."""
+    from networkit_spark.plans.ranking import dense_rank_of_distinct
+
+    lbls = dense_rank_of_distinct(partition, "label", "cid")
+    comp = partition.join(lbls, "label").select("id", "cid")
+    cu = comp.select(F.col("id").alias("src"), F.col("cid").alias("cu"))
+    cv = comp.select(F.col("id").alias("dst"), F.col("cid").alias("cv"))
+    ce = (
+        graph.E.join(cu, "src")
+        .join(cv, "dst")
+        .filter(F.col("cu") != F.col("cv"))
+        .select(
+            F.least("cu", "cv").alias("src"),
+            F.greatest("cu", "cv").alias("dst"),
+            "weight" if graph.weighted else F.lit(1.0).alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    nodes = comp.select(F.col("cid").alias("id")).distinct()
+    return GraphDF(nodes, ce, directed=False, weighted=True)
+
+
+def weighted_degree_with_cluster(
+    graph: GraphDF, partition: DataFrame
+) -> DataFrame:
+    """GraphClusteringTools::weightedDegreeWithCluster (:49-68), fully
+    vectorized: (id, cid, wdeg) for every node × incident cluster — the
+    weight (or count, unweighted) of u's edges into cluster cid. The
+    reference answers one (u, cid) probe per call; the DataFrame form is
+    the whole table, which is what PLM-style local moving consumes."""
+    cv = partition.select(F.col("id").alias("dst"), F.col("label").alias("cid"))
+    w = F.col("weight") if graph.weighted else F.lit(1.0)
+    return (
+        graph.E_sym.join(cv, "dst")
+        .groupBy(F.col("src").alias("id"), "cid")
+        .agg(F.sum(w).alias("wdeg"))
+    )
+
+
+def is_proper_clustering(graph: GraphDF, partition: DataFrame) -> bool:
+    """GraphClusteringTools::isProperClustering (:70-81): every node has
+    exactly one label (anti-join emptiness + a duplicate check)."""
+    p = partition.select("id", "label")
+    missing = graph.V.join(p, "id", "left_anti").limit(1).count()
+    dups = (
+        p.groupBy("id").agg(F.count("*").alias("c")).filter("c > 1").limit(1)
+        .count()
+    )
+    return missing == 0 and dups == 0
+
+
+def is_one_clustering(graph: GraphDF, partition: DataFrame) -> bool:
+    """GraphClusteringTools::isOneClustering (:83-94)."""
+    return partition.select("label").distinct().count() == 1
+
+
+def is_singleton_clustering(graph: GraphDF, partition: DataFrame) -> bool:
+    """GraphClusteringTools::isSingletonClustering (:95-97)."""
+    return (
+        partition.select("label").distinct().count() == graph.number_of_nodes()
+    )
+
+
+def equal_clusterings(
+    graph: GraphDF, a: DataFrame, b: DataFrame
+) -> bool:
+    """GraphClusteringTools::equalClusterings (:99-116): the two partitions
+    agree on same-cluster membership for every EDGE of G (the reference's
+    edge-restricted equality, not full partition equality). One |E| pass
+    joined against both label vectors; the mismatch count is a scalar."""
+    la = a.select("id", F.col("label").alias("la"))
+    lb = b.select("id", F.col("label").alias("lb"))
+    lab = la.join(lb, "id")
+    u = lab.select(
+        F.col("id").alias("src"),
+        F.col("la").alias("la_u"),
+        F.col("lb").alias("lb_u"),
+    )
+    v = lab.select(
+        F.col("id").alias("dst"),
+        F.col("la").alias("la_v"),
+        F.col("lb").alias("lb_v"),
+    )
+    bad = (
+        graph.E.join(u, "src")
+        .join(v, "dst")
+        .filter(
+            (F.col("la_u") == F.col("la_v")) != (F.col("lb_u") == F.col("lb_v"))
+        )
+        .limit(1)
+        .count()
+    )
+    return bad == 0
+
+
+def modularity_edge_scores(graph: GraphDF) -> DataFrame:
+    """ModularityScoring (scoring/ModularityScoring.hpp:63-72):
+    Δmod(u,v) = w(u,v)/W − (wdeg(u)/2W)·(wdeg(v)/2W) per edge — the
+    modularity increase of merging the two endpoints' singleton clusters.
+    One broadcast of the scalar W and two dimension joins on the |V| weighted
+    -degree vector; the edge table never shuffles wider than its key."""
+    total = graph.E.agg(F.sum("weight").alias("w")).collect()[0]["w"] or 1.0
+    wd = graph.weighted_degrees()
+    wu = wd.select(F.col("id").alias("src"), F.col("wdeg").alias("wd_u"))
+    wv = wd.select(F.col("id").alias("dst"), F.col("wdeg").alias("wd_v"))
+    vol = 2.0 * float(total)
+    return (
+        graph.E.filter("src != dst")
+        .join(wu, "src")
+        .join(wv, "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                F.col("weight") / F.lit(float(total))
+                - (F.col("wd_u") / vol) * (F.col("wd_v") / vol)
+            ).alias("score"),
+        )
+    )
+
+
+def parallel_agglomerative_clusterer(
+    graph: GraphDF,
+    min_communities: int = 2,
+    rel_repeat_threshold: float = 5e-3,
+    max_levels: int = 32,
+) -> DataFrame:
+    """ParallelAgglomerativeClusterer (community/
+    ParallelAgglomerativeClusterer.cpp:19-85, the PGA clusterer): repeat
+    {score edges by singleton-merge modularity gain, compute a maximal
+    matching on the scored graph, contract it} until the graph stops
+    shrinking meaningfully ((n−cn)/n ≤ 5e-3), then the coarsest nodes ARE
+    the clusters, projected back to the finest graph through the mapping
+    hierarchy (ClusteringProjector::projectBackToFinest). Exactly the
+    reference's loop structure, including discarding the final contraction
+    that failed the repeat test.
+
+    The matching stage uses the fully-parallel mutual-best LocalMaxMatcher
+    rather than the reference's sequential PathGrowingMatcher
+    (ParallelAgglomerativeClusterer.cpp:46 carries a FIXME that the matcher
+    is "so far only sequential") — both produce maximal matchings; local-max
+    is the distributable one, with a deterministic tie-break so results are
+    reproducible. Hierarchy projection is a fold of (id → super_id) joins,
+    never a driver-side loop over nodes. Returns (id, label)."""
+    from networkit_spark.operators.misc import local_max_matching
+
+    gc = graph
+    mapping_total: DataFrame | None = None
+    for _ in range(max_levels):
+        scored = modularity_edge_scores(gc).select(
+            "src", "dst", F.col("score").alias("weight")
+        )
+        scored_g = GraphDF(gc.V, scored, directed=False, weighted=True)
+        matching = local_max_matching(scored_g)
+        coarse, mapping = matching_coarsening(gc, matching)
+        n = gc.number_of_nodes()
+        cn = coarse.number_of_nodes()
+        diff = n - cn
+        repeat = (
+            diff > 0
+            and cn >= min_communities
+            and diff / n > rel_repeat_threshold
+        )
+        if not repeat:
+            break  # reference discards the failing contraction (:71-73)
+        # accept the level: fold the mapping into the fine→coarsest map and
+        # truncate lineage (levels shrink geometrically; the map stays |V|)
+        if mapping_total is None:
+            mapping_total = mapping.localCheckpoint(eager=True)
+        else:
+            step = mapping.select(
+                F.col("id").alias("super_id"), F.col("super_id").alias("next_id")
+            )
+            mapping_total = (
+                mapping_total.join(step, "super_id")
+                .select("id", F.col("next_id").alias("super_id"))
+                .localCheckpoint(eager=True)
+            )
+        ce = coarse.E.localCheckpoint(eager=True)
+        gc = GraphDF(coarse.V.localCheckpoint(eager=True), ce,
+                     directed=False, weighted=True)
+    if mapping_total is None:
+        # no level accepted — singletons (allToSingletons on the input)
+        return graph.V.select("id", F.col("id").alias("label"))
+    return mapping_total.select("id", F.col("super_id").alias("label"))
+
+
 def dynamic_nmi_distance(old_labels: DataFrame, new_labels: DataFrame) -> float:
     """DynamicNMIDistance (community/DynamicNMIDistance.cpp:29-44 isInBoth,
     :47-120 getDissimilarity): NMI dissimilarity between the clustering

@@ -207,6 +207,89 @@ def neighbors_measure_index(graph: GraphDF) -> DataFrame:
     )
 
 
+def adjusted_rand_link_index(
+    graph: GraphDF, pairs: DataFrame | None = None
+) -> DataFrame:
+    """AdjustedRandIndex (linkprediction/AdjustedRandIndex.cpp:14-41) —
+    per-pair score 2·(a·d − b·c) / (a·b + a·c + 2·a·d + b² + b·d + c² + c·d)
+    with a = |N(u)∩N(v)| and d = n − |N(u)∪N(v)|. The reference computes the
+    b/c "difference" terms with std::set_union (AdjustedRandIndex.cpp:28-31),
+    so b = c = |N(u)∪N(v)| — reproduced faithfully here for score parity.
+    Denominator 0 → score 0."""
+    if pairs is None:
+        pairs = two_hop_pairs(graph)
+    else:
+        pairs = pairs.join(two_hop_pairs(graph), ["u", "v"], "left").select(
+            "u", "v", F.coalesce("common", F.lit(0)).alias("common")
+        )
+    n = graph.number_of_nodes()
+    deg = _neighbors(graph).groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    a = F.col("common").cast("double")
+    uni = (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+    b = uni
+    c = uni
+    d = F.lit(float(n)) - uni
+    denom = a * b + a * c + 2 * a * d + b * b + b * d + c * c + c * d
+    return (
+        pairs.join(du, "u", "left")
+        .join(dv, "v", "left")
+        .na.fill({"du": 0, "dv": 0})
+        .select(
+            "u",
+            "v",
+            F.when(denom == 0, 0.0)
+            .otherwise(2 * (a * d - b * c) / denom)
+            .alias("score"),
+        )
+    )
+
+
+def neighbors_of(graph: GraphDF, nodes: DataFrame | None = None) -> DataFrame:
+    """NeighborhoodUtility (linkprediction/NeighborhoodUtility.cpp) —
+    per-node sorted neighbor lists (id, neighbors:array<long>); the shared
+    base for getCommonNeighbors / getNeighborsUnion below."""
+    nb = _neighbors(graph)
+    if nodes is not None:
+        nb = nb.join(nodes.select(F.col("id").alias("src")), "src")
+    return nb.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_set("dst")).alias("neighbors")
+    )
+
+
+def neighborhood_utility(graph: GraphDF, pairs: DataFrame) -> DataFrame:
+    """NeighborhoodUtility.cpp:12-31 (getNeighborsUnion / getCommonNeighbors)
+    as one distributed pass: for each (u, v) pair, sorted arrays of the
+    union and intersection of the two neighborhoods — array expressions over
+    the per-node neighbor lists, no per-row Python."""
+    lists = neighbors_of(graph)
+    lu = lists.select(F.col("id").alias("u"), F.col("neighbors").alias("nu"))
+    lv = lists.select(F.col("id").alias("v"), F.col("neighbors").alias("nv"))
+    empty = F.array().cast("array<bigint>")
+    return (
+        pairs.select("u", "v")
+        .join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            "u",
+            "v",
+            F.sort_array(
+                F.array_union(
+                    F.coalesce("nu", empty), F.coalesce("nv", empty)
+                )
+            ).alias("neighbors_union"),
+            F.sort_array(
+                F.array_intersect(
+                    F.coalesce("nu", empty), F.coalesce("nv", empty)
+                )
+            ).alias("common_neighbors"),
+        )
+    )
+
+
 def same_community_index(
     graph: GraphDF, partition: DataFrame, pairs: DataFrame | None = None
 ) -> DataFrame:

@@ -519,3 +519,70 @@ def geometric_mean_score(graph: GraphDF, attribute: DataFrame) -> DataFrame:
             .alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------- Sparsifiers
+# sparsification/Sparsifiers.cpp:19-140 — the convenience compositions
+# score → GlobalThresholdFilter, each returning a sparsified GraphDF. Every
+# body reuses the distributed score operators above; nothing here adds a
+# new shuffle beyond its underlying score.
+
+
+def simmelian_sparsifier_non_parametric(
+    graph: GraphDF, threshold: float, k: int = 10
+) -> GraphDF:
+    """SimmelianSparsifierNonParametric (Sparsifiers.cpp:33-47): prefix
+    -Jaccard backbone score, keep edges with score ≥ threshold."""
+    return global_threshold_filter(
+        graph, prefix_jaccard_score(graph, k=k), threshold, above=True
+    )
+
+
+def simmelian_sparsifier_parametric(
+    graph: GraphDF, max_rank: int = 10, min_overlap: int = 5
+) -> GraphDF:
+    """SimmelianSparsifierParametric (Sparsifiers.cpp:50-66): Simmelian
+    overlap score at max_rank, keep edges with overlap ≥ min_overlap."""
+    return global_threshold_filter(
+        graph,
+        simmelian_overlap_score(graph, max_rank=max_rank),
+        float(min_overlap),
+        above=True,
+    )
+
+
+def multiscale_sparsifier(graph: GraphDF, alpha: float) -> GraphDF:
+    """MultiscaleSparsifier (Sparsifiers.cpp:68-85): multiscale backbone
+    over the edge weights, keep edges with score ≥ alpha."""
+    return global_threshold_filter(
+        graph, multiscale_score(graph), alpha, above=True
+    )
+
+
+def local_similarity_sparsifier(graph: GraphDF, e: float) -> GraphDF:
+    """LocalSimilaritySparsifier (Sparsifiers.cpp:87-103): local-similarity
+    minExponent score, keep edges with score ≥ e."""
+    return global_threshold_filter(
+        graph, local_similarity_score(graph), e, above=True
+    )
+
+
+def simmelian_multiscale_sparsifier(graph: GraphDF, alpha: float) -> GraphDF:
+    """SimmelianMultiscaleSparsifier (Sparsifiers.cpp:105-122): multiscale
+    backbone over TRIANGLE counts instead of weights."""
+    from networkit_spark.operators.triangles import triangle_edge_score
+
+    tri = triangle_edge_score(graph).select(
+        "src", "dst", F.col("score").cast("double").alias("score")
+    )
+    return global_threshold_filter(
+        graph, multiscale_score(graph, attribute=tri), alpha, above=True
+    )
+
+
+def random_sparsifier(graph: GraphDF, ratio: float, seed: int = 42) -> GraphDF:
+    """RandomSparsifier (Sparsifiers.cpp:124-138): uniform random edge
+    score, keep edges with score ≥ ratio (expected (1−ratio) of edges)."""
+    return global_threshold_filter(
+        graph, random_edge_score(graph, seed=seed), ratio, above=True
+    )

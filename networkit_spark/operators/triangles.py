@@ -186,6 +186,14 @@ def triangle_edge_score(graph: GraphDF) -> DataFrame:
     )
 
 
+# ChibaNishizekiTriangleEdgeScore (edgescores/
+# ChibaNishizekiTriangleEdgeScore.cpp) computes the same per-edge triangle
+# counts as TriangleEdgeScore via Chiba–Nishizeki enumeration; in the
+# declarative plan both are the same oriented-wedge join, so the class is
+# an alias here.
+chiba_nishizeki_triangle_edge_score = triangle_edge_score
+
+
 def quadrangle_edge_score(graph: GraphDF) -> DataFrame:
     """ChibaNishizekiQuadrangleEdgeScore
     (edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp:14-95) — (src, dst,

@@ -331,6 +331,27 @@ def write_partition(partition: DataFrame, path: str) -> None:
     )
 
 
+def read_edgelist_cover(
+    spark: SparkSession, path: str, first_node: int = 1
+) -> DataFrame:
+    """EdgeListCoverReader (io/EdgeListCoverReader.cpp:14-49): each line is
+    `<node> <subset> [<subset> ...]` — the node id shifted down by
+    `first_node`, subset ids taken verbatim; '#' comment lines skipped.
+    Returns the cover as (id, subset) rows, one per membership — the
+    explode is per-line, so the scan parallelizes over file splits."""
+    lines = spark.read.text(path)
+    toks = F.split(F.trim("value"), r"\s+")
+    return (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.trim("value") != "")
+        .select(
+            (toks[0].cast("long") - F.lit(first_node)).alias("id"),
+            F.explode(F.slice(toks, 2, 1 << 20)).alias("s"),
+        )
+        .select("id", F.col("s").cast("long").alias("subset"))
+    )
+
+
 def read_cover(spark: SparkSession, path: str) -> DataFrame:
     """CoverReader (io/CoverReader.cpp:10-30): line i lists the member node
     ids of community i; '#' lines are comments. Returns the Cover as
@@ -842,4 +863,90 @@ def write_dot_partition(
         .coalesce(1)
         .write.mode("overwrite")
         .text(path)
+    )
+
+
+def read_dibap(spark: SparkSession, path: str) -> GraphDF:
+    """DibapGraphReader (io/DibapGraphReader.cpp:34-180): DibaP binary —
+    big-endian short magic 'GI', int V, vertex-weight dim + weights,
+    CSR offsets of[V+1] and targets to[numE2], edge-weight dim + int
+    weights, coordinate dim + float coords. Each undirected edge is kept
+    from the v <= to[e] orientation, exactly the reference's fill loop
+    (:159-175). Single sequential binary stream → driver-side codec
+    (fixture-tier, like the reference's fread loop); the edge table it
+    yields is distributed."""
+    import struct
+
+    with open(path, "rb") as f:
+        def ints(k):
+            return struct.unpack(f">{k}i", f.read(4 * k))
+
+        (magic,) = struct.unpack(">h", f.read(2))
+        if magic != (ord("G") << 8 | ord("I")):
+            raise ValueError("bad DibaP file: missing GI magic")
+        (n_v,) = ints(1)
+        (dvw,) = ints(1)
+        if dvw > 0:
+            ints(n_v * dvw)  # vertex weights — reference drops them (:161)
+        of = ints(n_v + 1)
+        num_e2 = of[n_v]
+        to = ints(num_e2) if num_e2 else ()
+        (dew,) = ints(1)
+        ew = ints(num_e2 * dew) if dew > 0 else None
+        # trailing coordinate block (dxy + floats) is ignored like vw
+    rows = []
+    for v in range(n_v):
+        for e in range(of[v], of[v + 1]):
+            if v <= to[e]:
+                rows.append(
+                    (v, to[e], float(ew[e]) if ew is not None else 1.0)
+                )
+    e_df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    v_df = spark.range(n_v).select(F.col("id").cast("long"))
+    return GraphDF(v_df, e_df, directed=False, weighted=ew is not None)
+
+
+def read_raster_points(
+    spark: SparkSession,
+    path: str,
+    normalization_factor: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """RasterReader (io/RasterReader.cpp:19-101): ESRI ASCII grid raster →
+    2D point cloud; cell (row, col) with value v spawns round(v·nf)
+    points uniform in its unit square (x ∈ [col, col+1],
+    y ∈ [1−(row+1), 1−row] — the reference's top-down y sweep).
+
+    Spark-first split: the 6-line header parses on the driver, the CELL
+    table distributes, and the POINT generation — the part that is huge
+    when a population raster maps to 10^8 points — is a per-cell
+    sequence explode with LCG coordinates (the reference draws
+    Aux::Random reals, so coordinates are engine-random either way;
+    ours are deterministic at any parallelism). Returns (x, y)."""
+    from networkit_spark.functions.sampling import lcg_priority
+
+    with open(path) as f:
+        header = [f.readline() for _ in range(6)]
+        ncols = int(float(header[0][14:].strip()))
+        nrows = int(float(header[1][14:].strip()))
+        cells = []
+        for row in range(nrows):
+            vals = f.readline().split()
+            for col in range(ncols):
+                npts = round(float(vals[col]) * normalization_factor)
+                if npts > 0:
+                    cells.append((row, col, int(npts)))
+    if not cells:
+        return spark.createDataFrame([], "x double, y double")
+    cell_df = spark.createDataFrame(cells, "row long, col long, npts long")
+    pts = cell_df.select(
+        "row", "col", F.explode(F.sequence(F.lit(1), F.col("npts"))).alias("i")
+    )
+    key = (F.col("row") * 1000003 + F.col("col")) * 131071 + F.col("i")
+    m = float(1 << 31)
+    ux = lcg_priority(key, seed=seed) / F.lit(m)
+    uy = lcg_priority(key * 31 + 7, seed=seed) / F.lit(m)
+    return pts.select(
+        (F.col("col") + ux).cast("double").alias("x"),
+        (F.lit(1.0) - (F.col("row") + 1) + uy).cast("double").alias("y"),
     )

@@ -292,8 +292,9 @@ def graph_structural_rand(graph: GraphDF, a: DataFrame, b: DataFrame) -> float:
 
 
 def hub_dominance(graph: GraphDF, partition: DataFrame) -> DataFrame:
-    """HubDominance (community/HubDominance.cpp): per community, max
-    internal degree / (community size − 1)."""
+    """HubDominance (community/HubDominance.cpp; the same quantity
+    community/PartitionHubDominance.cpp exposes as a per-partition quality
+    measure): per community, max internal degree / (community size − 1)."""
     p_src = partition.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
     p_dst = partition.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
     intra = (

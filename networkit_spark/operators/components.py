@@ -334,7 +334,9 @@ def weakly_connected_components(
     jump_broadcast_rows: int = 512_000,
 ) -> DataFrame:
     """WeaklyConnectedComponents.cpp:32 — hash-min over the symmetrized view
-    of a directed edge table."""
+    of a directed edge table. (The sequential engine's merge structure,
+    structures/UnionFind.cpp, has no distributed analog — label
+    propagation + pointer jumping plays its role here.)"""
     labels = _hash_min_fixpoint(
         graph.E_sym, graph.V, max_iterations, checkpointer=checkpointer,
         check_every=check_every, broadcast_labels=broadcast_labels,

@@ -178,7 +178,8 @@ def luby_independent_set(
     max_rounds: int = 64,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Luby's maximal independent set (independentset/Luby.cpp): each round,
+    """Luby's maximal independent set (independentset/Luby.cpp — the one
+    concrete IndependentSetFinder.cpp implementation): each round,
     nodes with a seeded-hash priority smaller than all remaining neighbors
     join the set; their neighbors drop out. Returns (id) of the MIS.
 
@@ -469,6 +470,79 @@ def path_growing_matching(graph: GraphDF) -> DataFrame:
     return keyed.groupBy("component").applyInPandas(
         run, "src long, dst long, weight double"
     )
+
+
+def random_spanning_forest(graph: GraphDF, seed: int = 42) -> DataFrame:
+    """RandomSpanningForest (components/RandomSpanningForest.cpp:19-51):
+    a uniformly random spanning tree per connected component via the
+    Aldous–Broder first-entry random walk — walk until every component
+    node is visited; each first-entry edge joins the tree.
+
+    Distribution split: components come from the distributed hash-min WCC,
+    and each component's walk — inherently one sequential chain, exactly
+    the reference's while-loop — runs as one Arrow batch in applyInPandas
+    (the PathGrowingMatcher tier: a giant component is one task, declared;
+    random_maximum_spanning_forest with a seeded-hash weight shuffle is
+    the fully-parallel random-forest alternative, without the UST
+    distribution). Seeded per component, so runs reproduce at any
+    parallelism. Returns (src, dst) tree edges, src < dst."""
+    import numpy as np
+    import pandas as pd
+
+    from networkit_spark.operators.components import (
+        weakly_connected_components,
+    )
+
+    comp = weakly_connected_components(graph)
+    comp_col = "component" if "component" in comp.columns else "label"
+    e = graph.E_sym.filter("src != dst").select("src", "dst")
+    keyed = e.join(
+        comp.select(
+            F.col("id").alias("src"), F.col(comp_col).alias("component")
+        ),
+        "src",
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            adj.setdefault(int(s), []).append(int(d))
+        nodes = sorted(adj)
+        if not nodes:
+            return pd.DataFrame(columns=["src", "dst"]).astype("int64")
+        for v in adj:
+            adj[v].sort()  # stable neighbor order -> reproducible walk
+        rng = np.random.RandomState((seed ^ int(key[0])) & 0x7FFFFFFF)
+        curr = nodes[rng.randint(len(nodes))]
+        visited = {curr}
+        tree = []
+        target = len(nodes)
+        # Aldous–Broder terminates a.s.; the cap is a safety valve that
+        # deterministically completes the forest with a BFS fill if hit.
+        cap = 64 * target * target + 1024
+        steps = 0
+        while len(visited) < target and steps < cap:
+            nbrs = adj[curr]
+            neigh = nbrs[rng.randint(len(nbrs))]
+            if neigh not in visited:
+                tree.append((min(curr, neigh), max(curr, neigh)))
+                visited.add(neigh)
+            curr = neigh
+            steps += 1
+        if len(visited) < target:  # pragma: no cover - cap safety valve
+            frontier = list(visited)
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for v in adj[u]:
+                        if v not in visited:
+                            visited.add(v)
+                            tree.append((min(u, v), max(u, v)))
+                            nxt.append(v)
+                frontier = nxt
+        return pd.DataFrame(sorted(tree), columns=["src", "dst"])
+
+    return keyed.groupBy("component").applyInPandas(run, "src long, dst long")
 
 
 def random_maximum_spanning_forest(graph: GraphDF, seed: int = 42) -> DataFrame:

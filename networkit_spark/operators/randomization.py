@@ -53,7 +53,9 @@ def global_curveball(
 ) -> GraphDF:
     """GlobalCurveball.cpp (Carstens et al. global trade sequences): each
     round (1) orients every edge to a unique OWNER endpoint, (2) pairs up
-    all nodes with a seeded random perfect matching, and (3) every pair
+    all nodes with a seeded random perfect matching — the global trade
+    sequence CurveballGlobalTradeGenerator.cpp emits, generated here as a
+    column expression instead of a materialized list — and (3) every pair
     (u,v) trades: pooled targets A = own(u) \\ (N(v) ∪ {v}) and
     B = own(v) \\ (N(u) ∪ {u}) are hash-shuffled and the first |A| go back
     to u, the rest to v. Ownership is unique and each node is in one pair,

@@ -219,7 +219,14 @@ def effective_resistance_approx(
     """(src, dst, score): R(u,v) per canonical edge via the
     Spielman–Srivastava JL sketch (SpanningEdgeCentrality.cpp:70-111):
     k = ⌈log₂ n⌉/ε² systems L z_i = Bᵀ W^{1/2} q_i with seeded ±1/√k
-    q_i over edges; R ≈ Σ_i (z_i(u) − z_i(v))². One batched CG."""
+    q_i over edges; R ≈ Σ_i (z_i(u) − z_i(v))². One batched CG.
+
+    This is also the declared approximation tier for ApproxSpanningEdge
+    (centrality/ApproxSpanningEdge.cpp): the reference estimates the same
+    per-edge effective resistance by sampling random spanning trees via
+    loop-erased walks — an inherently sequential chain per sample; the JL
+    sketch reaches the same ε-approximation of R(u,v) with batched linear
+    solves, which is the formulation that distributes."""
     n = graph.number_of_nodes()
     k = max(1, int(math.ceil(math.log2(max(n, 2))) / (eps * eps)))
     canon = (

@@ -234,7 +234,9 @@ def chung_lu(
 
 
 def havel_hakimi(spark: SparkSession, degree_sequence: list[int]) -> GraphDF:
-    """HavelHakimiGenerator (generators/HavelHakimiGenerator.hpp:26) —
+    """HavelHakimiGenerator (generators/HavelHakimiGenerator.hpp:26; its
+    base StaticDegreeSequenceGenerator.cpp contributes only the
+    realizability check, folded in here) —
     realize a graphical degree sequence greedily: repeatedly connect the
     highest-remaining-degree node to the next-highest ones. The greedy loop
     is inherently sequential over n (the reference's is too); this is the
@@ -1012,7 +1014,11 @@ def mocnik(
     array is an acceleration structure, not a semantic — re-expressed as
     an all-pairs candidate join (fixture scale, like the other geometric
     generators; a grid-cell bucketed join is the scale path) + per-source
-    min aggregation. weight = dist/dmin per the weighted variant."""
+    min aggregation. weight = dist/dmin per the weighted variant.
+
+    MocnikGeneratorBasic (MocnikGeneratorBasic.cpp) is the reference's own
+    un-accelerated all-pairs formulation of the SAME model — i.e. exactly
+    this join, so one implementation covers both classes."""
     coords = [
         (
             F.pmod(_u(F.xxhash64("id", F.lit(seed), F.lit(10 + j))), F.lit(1 << 40))

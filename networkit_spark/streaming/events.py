@@ -4,8 +4,11 @@ Reference: GraphEvent (include/networkit/dynamics/GraphEvent.hpp:22-36) —
 typed rows NODE_ADDITION, NODE_REMOVAL, NODE_RESTORATION, EDGE_ADDITION,
 EDGE_REMOVAL, EDGE_WEIGHT_UPDATE, EDGE_WEIGHT_INCREMENT, TIME_STEP with
 payload (u, v, w); applied in order by GraphUpdater::update
-(dynamics/GraphUpdater.hpp:25); DGS file parsing
-(dynamics/DGSStreamParser.cpp); graphFromStream (networkit/dynamic.py:6).
+(dynamics/GraphUpdater.hpp:25) — GraphEventProxy
+(dynamics/GraphEventProxy.cpp) is the same apply-and-forward contract,
+which here is the fold + downstream Dyn-operator notification; DGS file
+parsing (dynamics/DGSStreamParser.cpp); graphFromStream
+(networkit/dynamic.py:6).
 
 Spark mapping: events are rows (seq, type, u, v, w); TIME_STEP delimits
 micro-batches. Batch application is a deterministic fold expressed as

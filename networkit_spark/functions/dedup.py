@@ -384,3 +384,76 @@ def near_dup_survivors(
         F.coalesce("survivor", F.col("id")).alias("survivor"),
     )
     return out.withColumn("is_survivor", F.col("id") == F.col("survivor"))
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb/Falcon-style EXACT-SUBSTRING span dedup: any word k-gram
+    that appears in ≥2 documents marks its k-token span for removal in
+    every document EXCEPT the gram's keeper (the min doc id over its
+    occurrences — the "keep the first copy" policy at doc granularity);
+    surviving tokens are reassembled in order. Complements the doc-level
+    passes (exact/minhash/ngram): those drop whole near-identical docs,
+    this strips boilerplate/quoted spans duplicated ACROSS otherwise
+    distinct docs.
+
+    Plan shape (the 100-TB story): grams explode once; the corpus-wide
+    duplicate detection is ONE (gram)-keyed agg (map-side combined —
+    min(doc) + count); marked spans explode to ≤ k·|dup occurrences|
+    (pos) rows; reassembly is a per-doc agg whose width is bounded by doc
+    length. The corpus text shuffles only keyed by doc id; no all-pairs
+    stage anywhere. Returns (id, text_dedup, n_tokens, n_removed).
+    """
+    from networkit_spark.functions.text import _tokens, _word_grams
+
+    base = df.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
+    )
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    doc_grams = base.select(
+        "id", F.posexplode(_word_grams(F.col("toks"), k)).alias("gpos", "g")
+    )
+    dup = (
+        doc_grams.groupBy("g")
+        .agg(F.min("id").alias("keeper"), F.countDistinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("g", "keeper")
+    )
+    covered = (
+        doc_grams.join(dup, "g")
+        .filter(F.col("id") != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = base.select("id", F.size("toks").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -735,6 +735,151 @@ class graphtools:
         return _gdf(G).remove_self_loops()
 
 
+# ------------------------------------------------------------- sparsification
+class sparsification:
+    """networkit/sparsification.pyx — the Sparsifier classes
+    (sparsification/Sparsifiers.cpp): run() computes the backbone,
+    getGraph() returns the sparsified graph (a GraphDF, the facade's
+    distributed graph type, like graphtools)."""
+
+    class _Sparsifier:
+        def __init__(self, G, *args):
+            self._G = G
+            self._args = args
+            self._out = None
+
+        def run(self):
+            self._out = self._fn()(_gdf(self._G), *self._args)
+            return self
+
+        def getGraph(self) -> GraphDF:
+            if self._out is None:
+                raise RuntimeError("call run() first")
+            return self._out
+
+    class SimmelianSparsifierNonParametric(_Sparsifier):
+        def _fn(self):
+            from networkit_spark.operators.sparsification import (
+                simmelian_sparsifier_non_parametric,
+            )
+
+            return simmelian_sparsifier_non_parametric
+
+    class SimmelianSparsifierParametric(_Sparsifier):
+        def _fn(self):
+            from networkit_spark.operators.sparsification import (
+                simmelian_sparsifier_parametric,
+            )
+
+            return simmelian_sparsifier_parametric
+
+    class MultiscaleSparsifier(_Sparsifier):
+        def _fn(self):
+            from networkit_spark.operators.sparsification import (
+                multiscale_sparsifier,
+            )
+
+            return multiscale_sparsifier
+
+    class LocalSimilaritySparsifier(_Sparsifier):
+        def _fn(self):
+            from networkit_spark.operators.sparsification import (
+                local_similarity_sparsifier,
+            )
+
+            return local_similarity_sparsifier
+
+    class SimmelianMultiscaleSparsifier(_Sparsifier):
+        def _fn(self):
+            from networkit_spark.operators.sparsification import (
+                simmelian_multiscale_sparsifier,
+            )
+
+            return simmelian_multiscale_sparsifier
+
+    class RandomSparsifier(_Sparsifier):
+        def _fn(self):
+            from networkit_spark.operators.sparsification import (
+                random_sparsifier,
+            )
+
+            return random_sparsifier
+
+
+# ------------------------------------------------------------- linkprediction
+class linkprediction:
+    """networkit/linkprediction.pyx — per-pair index classes: run(u, v)
+    scores one pair (the reference's runImpl probe), runAll()/frame()
+    returns the full distributed score table over the two-hop candidate
+    pairs."""
+
+    class _Index:
+        def __init__(self, G):
+            self._G = G
+            self._frame = None
+
+        def _compute(self):
+            raise NotImplementedError
+
+        def runAll(self):
+            self._frame = self._compute()
+            return self
+
+        def frame(self):
+            if self._frame is None:
+                self.runAll()
+            return self._frame
+
+        def run(self, u: int, v: int) -> float:
+            from networkit_spark.graph import GraphDF  # noqa: F401
+
+            spark = _gdf(self._G).V.sparkSession
+            pairs = spark.createDataFrame(
+                [(int(min(u, v)), int(max(u, v)))], "u long, v long"
+            )
+            rows = self._compute(pairs).collect()
+            return float(rows[0]["score"]) if rows else 0.0
+
+    class AdjustedRandIndex(_Index):
+        def _compute(self, pairs=None):
+            from networkit_spark.operators.linkprediction import (
+                adjusted_rand_link_index,
+            )
+
+            return adjusted_rand_link_index(_gdf(self._G), pairs)
+
+    class CommonNeighborsIndex(_Index):
+        def _compute(self, pairs=None):
+            from networkit_spark.operators.linkprediction import (
+                common_neighbors_index,
+            )
+
+            df = common_neighbors_index(_gdf(self._G))
+            return df if pairs is None else pairs.join(df, ["u", "v"], "left").select(
+                "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
+            )
+
+    class JaccardIndex(_Index):
+        def _compute(self, pairs=None):
+            from networkit_spark.operators.linkprediction import jaccard_index
+
+            df = jaccard_index(_gdf(self._G))
+            return df if pairs is None else pairs.join(df, ["u", "v"], "left").select(
+                "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
+            )
+
+    class AdamicAdarIndex(_Index):
+        def _compute(self, pairs=None):
+            from networkit_spark.operators.linkprediction import (
+                adamic_adar_index,
+            )
+
+            df = adamic_adar_index(_gdf(self._G))
+            return df if pairs is None else pairs.join(df, ["u", "v"], "left").select(
+                "u", "v", F.coalesce("score", F.lit(0.0)).alias("score")
+            )
+
+
 # ---------------------------------------------------------------------- I/O
 class Format:
     """graphio.pyx Format enum subset (v1 reader scope)."""

@@ -828,6 +828,7 @@ def parallel_agglomerative_clusterer(
     reproducible. Hierarchy projection is a fold of (id → super_id) joins,
     never a driver-side loop over nodes. Returns (id, label)."""
     from networkit_spark.operators.misc import local_max_matching
+    from networkit_spark.plans.checkpoint import stats_safe_checkpoint
 
     gc = graph
     mapping_total: DataFrame | None = None
@@ -849,21 +850,28 @@ def parallel_agglomerative_clusterer(
         if not repeat:
             break  # reference discards the failing contraction (:71-73)
         # accept the level: fold the mapping into the fine→coarsest map and
-        # truncate lineage (levels shrink geometrically; the map stays |V|)
+        # truncate lineage (levels shrink geometrically; the map stays |V|).
+        # stats_safe_checkpoint, not a bare localCheckpoint: each level's
+        # tables are joins over the previous level's, so Catalyst's
+        # multiplied sizeInBytes estimate explodes super-exponentially
+        # across levels unless reset to the real cached size at every
+        # level boundary (see plans/checkpoint.py).
         if mapping_total is None:
-            mapping_total = mapping.localCheckpoint(eager=True)
+            mapping_total = stats_safe_checkpoint(mapping)
         else:
             step = mapping.select(
                 F.col("id").alias("super_id"), F.col("super_id").alias("next_id")
             )
-            mapping_total = (
+            mapping_total = stats_safe_checkpoint(
                 mapping_total.join(step, "super_id")
                 .select("id", F.col("next_id").alias("super_id"))
-                .localCheckpoint(eager=True)
             )
-        ce = coarse.E.localCheckpoint(eager=True)
-        gc = GraphDF(coarse.V.localCheckpoint(eager=True), ce,
-                     directed=False, weighted=True)
+        gc = GraphDF(
+            stats_safe_checkpoint(coarse.V),
+            stats_safe_checkpoint(coarse.E),
+            directed=False,
+            weighted=True,
+        )
     if mapping_total is None:
         # no level accepted — singletons (allToSingletons on the input)
         return graph.V.select("id", F.col("id").alias("label"))

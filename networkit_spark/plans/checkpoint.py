@@ -114,3 +114,28 @@ class SuperstepCheckpointer:
         if os.path.isdir(self.dir):
             shutil.rmtree(self.dir)
         os.makedirs(self.state_dir, exist_ok=True)
+
+
+def stats_safe_checkpoint(df: DataFrame) -> DataFrame:
+    """persist → count → localCheckpoint(eager) → unpersist: lineage
+    truncation whose LogicalRDD carries the REAL materialized size instead
+    of the origin plan's estimate.
+
+    Why this exists (measured, round 4): Catalyst MULTIPLIES sizeInBytes
+    across join trees, and localCheckpoint's LogicalRDD preserves the
+    origin plan's stats. In level-on-level constructions (agglomerative
+    coarsening: each level's edge table is several joins over the previous
+    level's checkpointed tables) the stat VALUE therefore grows
+    super-exponentially even while the plan TEXT stays bounded — measured
+    295 → 4,151 BigInteger digits for ONE karate coarsening level, minutes
+    of ToomCook multiplication inside stats estimation by level 5, then a
+    driver OOM inside LogicalPlanStats. Materializing the cache first makes
+    the checkpoint inherit the true cached size (a small number), resetting
+    the estimate at every level boundary. Cost: one extra count job against
+    cached rows, exactly the persist-before-checkpoint discipline the
+    superstep kernels already follow (CLAUDE.md rule 11)."""
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out

@@ -147,10 +147,15 @@ def minimum_spanning_forest(
             jump = new_lab.select(
                 F.col("a").alias("j_a"), F.col("lab").alias("j_lab")
             )
-            new_lab = (
+            # stats_safe: new_lab references lab three ways (values, nbr,
+            # jump), so Catalyst's multiplied sizeInBytes estimate would
+            # TRIPLE its digit count per sweep if the bare checkpoint
+            # carried it forward (plans/checkpoint.py)
+            from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+            new_lab = stats_safe_checkpoint(
                 new_lab.join(jump, new_lab.lab == jump.j_a, "left")
                 .select("a", F.coalesce("j_lab", "lab").alias("lab"))
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_lab.select(F.col("a").alias("ja"), F.col("lab").alias("nl2"))
@@ -164,10 +169,11 @@ def minimum_spanning_forest(
             lab = new_lab
             if changed == 0:
                 break
-        comp = (
+        from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+        comp = stats_safe_checkpoint(
             comp.join(lab, comp.c == lab.a)
             .select("id", F.col("lab").alias("c"))
-            .localCheckpoint(eager=True)
         )
     return chosen if chosen is not None else e.limit(0)
 
@@ -610,13 +616,17 @@ def union_maximum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataF
                 .groupBy("a")
                 .agg(F.min("lab").alias("nlab"))
             )
-            upd = (
+            # stats_safe: upd references lbl twice (values + nxt), so the
+            # multiplied sizeInBytes estimate would compound per sweep
+            # through a bare checkpoint (plans/checkpoint.py)
+            from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+            upd = stats_safe_checkpoint(
                 lbl.join(nxt, "a", "left")
                 .select(
                     F.col("a").alias("a"),
                     F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
                 )
-                .localCheckpoint(eager=True)
             )
             # fresh aliases on BOTH sides — upd derives from lbl and a bare
             # re-join would hit "conflicting references" (CLAUDE.md rule 7)
@@ -633,10 +643,11 @@ def union_maximum_spanning_forest(graph: GraphDF, max_rounds: int = 64) -> DataF
             lbl = upd
             if changed == 0:
                 break
-        comp = (
+        from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+        comp = stats_safe_checkpoint(
             comp.join(lbl, comp.c == lbl.a)
             .select("id", F.col("lab").alias("c"))
-            .localCheckpoint(eager=True)
         )
     if out is None:
         return graph.E.select("src", "dst", "weight").withColumn(

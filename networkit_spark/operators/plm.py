@@ -208,12 +208,19 @@ def plm(
         n_coms = labels.select("label").distinct().count()
         n_nodes = level_graph.number_of_nodes()
         coarse, mapping = coarsen_by_partition(level_graph, labels)
-        mappings.append(mapping.localCheckpoint(eager=True))
+        # stats_safe_checkpoint, not bare localCheckpoint: each level's
+        # tables are joins over the previous level's, and Catalyst's
+        # multiplied sizeInBytes survives localCheckpoint — reset it to the
+        # real cached size per level or the estimate grows
+        # super-exponentially across levels (plans/checkpoint.py)
+        from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+        mappings.append(stats_safe_checkpoint(mapping))
         if n_coms == n_nodes:
             break
         level_graph = GraphDF(
-            coarse.V.localCheckpoint(eager=True),
-            coarse.E.localCheckpoint(eager=True),
+            stats_safe_checkpoint(coarse.V),
+            stats_safe_checkpoint(coarse.E),
             directed=coarse.directed,
             weighted=True,
         )

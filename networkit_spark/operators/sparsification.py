@@ -370,13 +370,20 @@ def multiscale_score(graph: GraphDF, attribute: DataFrame | None = None) -> Data
         .select(
             "src",
             "dst",
-            (
+            # ssum = 0 (every incident attribute 0, e.g. a pendant edge's
+            # triangle count) → normalized weight is 0/0; define p = 0 so
+            # the edge can only be kept via its OTHER endpoint. Explicit
+            # guard — ANSI mode turns the bare division into a runtime
+            # error on exactly those rows.
+            F.when(F.col("ssum") == 0, F.lit(0.0))
+            .otherwise(
                 1.0
                 - F.pow(
                     1.0 - F.col("score") / F.col("ssum"),
                     F.col("k").cast("double") - 1.0,
                 )
-            ).alias("p"),
+            )
+            .alias("p"),
         )
     )
     canon = per_dir.select(

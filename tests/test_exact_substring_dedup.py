@@ -127,3 +127,15 @@ ORDER BY b.id
     assert got == want
     # sanity: the boilerplate actually got stripped somewhere
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_plan_shape_no_cartesian_no_single_partition(spark):
+    # scale guard: the dedup plan must never cross-join the corpus or
+    # collapse it to one partition; the dup-gram set may broadcast
+    rows = [(i, f"token{i} alpha beta gamma delta") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_dedup(df, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan

@@ -159,7 +159,12 @@ def core_decomposition_hindex(
             F.col("val").alias("old"),
         )
         if fixed_iterations is not None:
-            c = new_c.select("id", "val").localCheckpoint(eager=True)
+            # stats-safe: new_c references c twice (values + the h sweep),
+            # so the multiplied sizeInBytes estimate would double its digit
+            # count per sweep through a bare checkpoint (CLAUDE.md rule 16)
+            from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+            c = stats_safe_checkpoint(new_c.select("id", "val"))
             continue
         block_end = (
             check_every <= 1

@@ -144,7 +144,12 @@ def edmonds_karp(
         )
         gain = float(gain)
         flow_value += gain
-        flow = (
+        # stats-safe per augmentation: the flow table is rebuilt by a join
+        # every round, so the multiplied sizeInBytes estimate compounds
+        # across augmentations through a bare checkpoint (CLAUDE.md rule 16)
+        from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+        flow = stats_safe_checkpoint(
             flow.join(path_df.withColumn("on_path", F.lit(1)), ["src", "dst"], "left")
             .select(
                 "src",
@@ -154,7 +159,6 @@ def edmonds_karp(
                     + F.when(F.col("on_path").isNotNull(), F.lit(gain)).otherwise(0.0)
                 ).alias("f"),
             )
-            .localCheckpoint(eager=True)
         )
 
     # final residual for the min-cut side

@@ -361,7 +361,12 @@ def approximate_pagerank_push(
                 ).alias("r"),
             )
         )
-        state = merged.localCheckpoint(eager=True)
+        # stats-safe: merged references state twice (pushed + mass), so the
+        # multiplied sizeInBytes estimate would double per push round
+        # through a bare checkpoint (CLAUDE.md rule 16)
+        from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+        state = stats_safe_checkpoint(merged)
     edges.unpersist()
     wdeg.unpersist()
     return state

@@ -189,10 +189,14 @@ def _trade_round(e, members, seed: int, r: int):
     )
     surviving = traded_new.join(bad_pairs, "pair", "left_anti")
     reverted = traded_old.join(bad_pairs, "pair", "left_semi")
-    return (
+    # stats-safe: the round output references e several ways (ownership,
+    # pools, kept, reverts), so the multiplied sizeInBytes estimate would
+    # compound per round through a bare checkpoint (CLAUDE.md rule 16)
+    from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
+    return stats_safe_checkpoint(
         kept.unionByName(surviving.select("src", "dst"))
         .unionByName(reverted.select("src", "dst"))
-        .localCheckpoint(eager=True)
     )
 
 

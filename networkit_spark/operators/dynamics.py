@@ -87,10 +87,16 @@ class DynAlgorithm:
     def update(self, events: DataFrame) -> DataFrame:
         old_graph = self.graph
         self.graph = apply_events(self.graph, events)
-        # pin the folded state: event-fold lineage must not accumulate
+        # pin the folded state: event-fold lineage must not accumulate —
+        # stats-safe, because each fold joins the previous batch's
+        # checkpointed tables, so a bare checkpoint would compound the
+        # multiplied sizeInBytes estimate across update batches
+        # (CLAUDE.md rule 16)
+        from networkit_spark.plans.checkpoint import stats_safe_checkpoint
+
         self.graph = GraphDF(
-            self.graph.V.localCheckpoint(eager=True),
-            self.graph.E.localCheckpoint(eager=True),
+            stats_safe_checkpoint(self.graph.V),
+            stats_safe_checkpoint(self.graph.E),
             directed=self.graph.directed,
             weighted=self.graph.weighted,
         )

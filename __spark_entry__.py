@@ -54,6 +54,7 @@ LUBY_ROUNDS = 12  # fixed Luby rounds (driver convention: unrollable oracle)
 LUBY_SEED = 42
 MSF_CLOSURE_STEPS = 8  # minimax doubling: covers paths of 2^8 edges (|V|=100 @ sf0.01)
 PLM_MOVE_SWEEPS = 4  # fixed Louvain move-phase sweeps (unrollable oracle)
+PLM_LEVELS = 3  # fixed Louvain contraction levels (full-hierarchy oracle)
 SHARD_TOKENS = 2000  # token budget per training shard
 LSH_PLANES = 4
 LSH_SEED = 42
@@ -942,14 +943,32 @@ def q_bidirectional_bfs_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_plm_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain (deterministic synchronous variant) — modularity-gain moves
-    aren't SQL-unrollable, so rows-only check; exactness covered by pytest
-    structural tests."""
+    """FULL hierarchical Louvain, fixed shape: PLM_LEVELS contraction
+    levels × PLM_MOVE_SWEEPS synchronous move sweeps per level, LCG
+    half-node conflict breaker. Integer edge weights keep every gain,
+    volume and contracted weight a bit-exact double, and dense-rank
+    compaction + contraction are pure relational steps — so the whole
+    hierarchy unrolls to a FULL DuckDB value oracle (_plm_full_sql;
+    was the last rows-only driver row through r4)."""
     from networkit_spark.operators.plm import plm
 
     tune_for_iteration(spark)
     g = tg.supplier_co_graph(spark, sf_dir)
-    return plm(g).orderBy("id")
+    return (
+        plm(
+            g,
+            gamma=1.0,
+            max_levels=PLM_LEVELS,
+            max_sweeps_per_level=PLM_MOVE_SWEEPS,
+            hash_fn="lcg",
+            fixed=True,
+        )
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("label").cast("long").alias("label"),
+        )
+        .orderBy("id")
+    )
 
 
 def q_plm_move_supplier_co(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,32 +1849,32 @@ def _linkpred_extras_sql(edges_cte: str, sweeps: int) -> str:
         " (SELECT dst AS u, src AS a FROM nb) x"
         " JOIN nb e ON e.src = x.a"
         " JOIN (SELECT src AS b, dst AS v FROM nb) y ON y.b = e.dst"
-        " WHERE x.u < y.v GROUP BY x.u, y.v),",
-        "arx AS (SELECT h.u, h.v,"
-        " CAST(h.common AS DOUBLE) AS a,"
-        " CAST(du.d + dv.d - h.common AS DOUBLE) AS uni,"
-        " nc.n - CAST(du.d + dv.d - h.common AS DOUBLE) AS d"
-        " FROM hop2x h CROSS JOIN nodecount nc"
-        " JOIN deg2 du ON h.u = du.id JOIN deg2 dv ON h.v = dv.id)",
-        f"SELECT h.u, h.v,"
-        f" CAST(du.d AS DOUBLE) AS u_deg,"
-        f" CAST(dv.d AS DOUBLE) AS v_deg,"
-        f" CAST(du.d + dv.d - h.common AS DOUBLE) AS total_nbrs,"
-        f" CAST(h.common + COALESCE(w3x.w3, 0) AS DOUBLE) AS nbrs_measure,"
-        f" CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END AS same_comm,"
-        f" CAST(ROUND(CASE WHEN ar.a * ar.uni + ar.a * ar.uni"
-        f"   + 2 * ar.a * ar.d + ar.uni * ar.uni + ar.uni * ar.d"
-        f"   + ar.uni * ar.uni + ar.uni * ar.d = 0 THEN 0.0"
-        f"  ELSE 2 * (ar.a * ar.d - ar.uni * ar.uni)"
-        f"   / (ar.a * ar.uni + ar.a * ar.uni + 2 * ar.a * ar.d"
-        f"      + ar.uni * ar.uni + ar.uni * ar.d + ar.uni * ar.uni"
-        f"      + ar.uni * ar.d) END, 6) AS DOUBLE) AS adj_rand"
-        f" FROM hop2x h"
+        " WHERE x.u < y.v GROUP BY x.u, y.v)",
+        # a/uni/d computed inline from the SAME du/dv joins the other
+        # columns use (the former arx CTE re-joined deg2 twice and was
+        # joined back — correct but redundant work; ADVICE r4)
+        f"SELECT u, v, u_deg, v_deg, total_nbrs, nbrs_measure, same_comm,"
+        f" CAST(ROUND(CASE WHEN a * uni + a * uni"
+        f"   + 2 * a * d + uni * uni + uni * d"
+        f"   + uni * uni + uni * d = 0 THEN 0.0"
+        f"  ELSE 2 * (a * d - uni * uni)"
+        f"   / (a * uni + a * uni + 2 * a * d"
+        f"      + uni * uni + uni * d + uni * uni"
+        f"      + uni * d) END, 6) AS DOUBLE) AS adj_rand"
+        f" FROM (SELECT h.u, h.v,"
+        f"  CAST(du.d AS DOUBLE) AS u_deg,"
+        f"  CAST(dv.d AS DOUBLE) AS v_deg,"
+        f"  CAST(du.d + dv.d - h.common AS DOUBLE) AS total_nbrs,"
+        f"  CAST(h.common + COALESCE(w3x.w3, 0) AS DOUBLE) AS nbrs_measure,"
+        f"  CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END AS same_comm,"
+        f"  CAST(h.common AS DOUBLE) AS a,"
+        f"  CAST(du.d + dv.d - h.common AS DOUBLE) AS uni,"
+        f"  nc.n - CAST(du.d + dv.d - h.common AS DOUBLE) AS d"
+        f" FROM hop2x h CROSS JOIN nodecount nc"
         f" JOIN deg2 du ON h.u = du.id JOIN deg2 dv ON h.v = dv.id"
         f" LEFT JOIN w3x ON h.u = w3x.u AND h.v = w3x.v"
-        f" JOIN arx ar ON h.u = ar.u AND h.v = ar.v"
-        f" JOIN l{sweeps} la ON h.u = la.id JOIN l{sweeps} lb ON h.v = lb.id"
-        f" ORDER BY h.u, h.v",
+        f" JOIN l{sweeps} la ON h.u = la.id JOIN l{sweeps} lb ON h.v = lb.id) t"
+        f" ORDER BY u, v",
     ]
     return "\n".join(parts)
 
@@ -2775,82 +2794,151 @@ ORDER BY src, dst
     )
 
 
-def _plm_move_sql() -> str:
-    """DuckDB twin of q_plm_move_supplier_co: the Louvain local-moving
-    phase unrolled for PLM_MOVE_SWEEPS synchronous sweeps (operators/
-    plm.py _move_phase, PLM.cpp:24 modularity delta). Every arithmetic
-    step is bit-exact cross-engine: weights are COUNT(*) integers, so
-    w(u,C) sums, volumes and m are exact doubles; the gain expression
-    mirrors Spark's parenthesization; winners pick (max gain, min cand);
-    the LCG half-node conflict breaker (CLAUDE.md rule 9) gates moves."""
+def _plm_level_parts(lvl: int, sweeps: int) -> tuple[list[str], str]:
+    """CTE parts for one Louvain local-moving phase over table
+    `edges{lvl}` (operators/plm.py _move_phase with hash_fn='lcg',
+    PLM.cpp:24 modularity delta), unrolled for `sweeps` synchronous
+    sweeps. Every arithmetic step is bit-exact cross-engine: weights are
+    COUNT(*) integers (and contraction SUMs of them stay exact doubles),
+    so w(u,C) sums, volumes and m are exact; the gain expression mirrors
+    Spark's parenthesization; winners pick (max gain, min cand); the LCG
+    half-node conflict breaker (CLAUDE.md rule 9) gates moves. Returns
+    (parts, name-of-final-label-CTE) with level-suffixed CTE names so
+    _plm_full_sql can chain multiple levels."""
+    E = f"edges{lvl}"
+    s = f"_{lvl}" if lvl else ""
     parts = [
-        tg.SUPPLIER_CO_EDGES_CTE.strip(),
-        """esym AS (SELECT src, dst, weight FROM edges WHERE src != dst
-  UNION ALL SELECT dst, src, weight FROM edges WHERE src != dst
-  UNION ALL SELECT src, dst, weight FROM edges WHERE src = dst)""",
-        "tot AS (SELECT SUM(weight) AS m FROM edges)",
-        """vol AS (SELECT src AS id,
+        f"""esym{s} AS (SELECT src, dst, weight FROM {E} WHERE src != dst
+  UNION ALL SELECT dst, src, weight FROM {E} WHERE src != dst
+  UNION ALL SELECT src, dst, weight FROM {E} WHERE src = dst)""",
+        f"tot{s} AS (SELECT SUM(weight) AS m FROM {E})",
+        f"""vol{s} AS (SELECT src AS id,
   SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS vol_u
-  FROM esym GROUP BY src)""",
-        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
-        "l0 AS (SELECT id, id AS label FROM v)",
+  FROM esym{s} GROUP BY src)""",
+        f"v{s} AS (SELECT src AS id FROM {E} UNION SELECT dst FROM {E})",
+        f"l{s}_0 AS (SELECT id, id AS label FROM v{s})",
     ]
-    for k in range(1, PLM_MOVE_SWEEPS + 1):
+    for k in range(1, sweeps + 1):
         p, sweep = k - 1, k - 1
         lcg = (
             f"((((id * 1103515245 + {12345 + sweep}) % 2147483648)"
             f" * 1103515245 + 12345) % 2147483648) % 65536 < 32768"
         )
         parts.append(
-            f"""cv{k} AS (SELECT l.label AS label, SUM(v.vol_u) AS vol_c
-  FROM l{p} l JOIN vol v ON l.id = v.id GROUP BY l.label)"""
+            f"""cv{s}_{k} AS (SELECT l.label AS label, SUM(v.vol_u) AS vol_c
+  FROM l{s}_{p} l JOIN vol{s} v ON l.id = v.id GROUP BY l.label)"""
         )
         parts.append(
-            f"""u2c{k} AS (SELECT e.dst AS id, r.label AS cand,
+            f"""u2c{s}_{k} AS (SELECT e.dst AS id, r.label AS cand,
   SUM(e.weight) AS w_uc
-  FROM esym e JOIN l{p} r ON e.src = r.id
+  FROM esym{s} e JOIN l{s}_{p} r ON e.src = r.id
   WHERE e.src != e.dst GROUP BY e.dst, r.label)"""
         )
         parts.append(
-            f"""sc{k} AS (
+            f"""sc{s}_{k} AS (
   SELECT u.id AS id, u.cand AS cand,
          (u.w_uc - COALESCE(wo.w_uown, CAST(0 AS DOUBLE))) / t.m
          + ((co.vol_c - v.vol_u) * v.vol_u
             - (CASE WHEN u.cand = o.label THEN co.vol_c - v.vol_u
                ELSE cc.vol_c END) * v.vol_u)
            / (CAST(2 AS DOUBLE) * t.m * t.m) AS gain
-  FROM u2c{k} u
-  JOIN l{p} o ON u.id = o.id
-  JOIN vol v ON u.id = v.id
-  JOIN cv{k} cc ON u.cand = cc.label
-  JOIN cv{k} co ON o.label = co.label
+  FROM u2c{s}_{k} u
+  JOIN l{s}_{p} o ON u.id = o.id
+  JOIN vol{s} v ON u.id = v.id
+  JOIN cv{s}_{k} cc ON u.cand = cc.label
+  JOIN cv{s}_{k} co ON o.label = co.label
   LEFT JOIN (SELECT u2.id AS id, u2.w_uc AS w_uown
-             FROM u2c{k} u2 JOIN l{p} o2
+             FROM u2c{s}_{k} u2 JOIN l{s}_{p} o2
                ON u2.id = o2.id AND u2.cand = o2.label) wo
     ON u.id = wo.id
-  CROSS JOIN tot t
+  CROSS JOIN tot{s} t
 )"""
         )
         parts.append(
-            f"""w{k} AS (
+            f"""w{s}_{k} AS (
   SELECT id, cand AS new_label FROM (
     SELECT id, cand, gain,
            ROW_NUMBER() OVER (PARTITION BY id
              ORDER BY gain DESC, cand ASC) AS rn
-    FROM sc{k})
+    FROM sc{s}_{k})
   WHERE rn = 1 AND gain > 1e-12 AND {lcg}
 )"""
         )
         parts.append(
-            f"""l{k} AS (SELECT p.id, COALESCE(w.new_label, p.label) AS label
-  FROM l{p} p LEFT JOIN w{k} w ON p.id = w.id)"""
+            f"""l{s}_{k} AS (SELECT p.id, COALESCE(w.new_label, p.label) AS label
+  FROM l{s}_{p} p LEFT JOIN w{s}_{k} w ON p.id = w.id)"""
         )
+    return parts, f"l{s}_{sweeps}"
+
+
+def _plm_move_sql() -> str:
+    """DuckDB twin of q_plm_move_supplier_co: one level-0 local-moving
+    phase (see _plm_level_parts for the bit-exactness argument)."""
+    parts = [
+        tg.SUPPLIER_CO_EDGES_CTE.strip(),
+        "edges0 AS (SELECT * FROM edges)",
+    ]
+    lp, lab = _plm_level_parts(0, PLM_MOVE_SWEEPS)
+    parts += lp
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
-FROM l{PLM_MOVE_SWEEPS} ORDER BY id
+FROM {lab} ORDER BY id
+"""
+    )
+
+
+def _plm_full_sql() -> str:
+    """DuckDB twin of q_plm_supplier_co: the FULL hierarchical Louvain
+    (plm.py plm(fixed=True)) — PLM_LEVELS levels, each a PLM_MOVE_SWEEPS-
+    sweep move phase (_plm_level_parts), a dense-rank label compaction
+    (coarsen_by_partition's dense_rank_of_distinct: 0-based rank of the
+    DISTINCT labels in sorted order), and a contraction groupBy (LEAST/
+    GREATEST canonical super-edges, weights summed, intra edges →
+    self-loops); the final labels compose the per-level mappings. Within
+    a level Spark may break early at the no-winner fixpoint — later
+    unrolled sweeps then no-op, so the fixed unroll matches exactly."""
+    parts = [
+        tg.SUPPLIER_CO_EDGES_CTE.strip(),
+        "edges0 AS (SELECT * FROM edges)",
+    ]
+    for lvl in range(PLM_LEVELS):
+        lp, lab = _plm_level_parts(lvl, PLM_MOVE_SWEEPS)
+        parts += lp
+        parts.append(
+            f"""sup{lvl} AS (SELECT label,
+  CAST(DENSE_RANK() OVER (ORDER BY label) - 1 AS BIGINT) AS super
+  FROM (SELECT DISTINCT label FROM {lab}) d{lvl})"""
+        )
+        parts.append(
+            f"""map{lvl} AS (SELECT t.id, s.super FROM {lab} t
+  JOIN sup{lvl} s ON t.label = s.label)"""
+        )
+        if lvl + 1 < PLM_LEVELS:
+            parts.append(
+                f"""edges{lvl + 1} AS (
+  SELECT LEAST(ms.super, md.super) AS src,
+         GREATEST(ms.super, md.super) AS dst,
+         SUM(e.weight) AS weight
+  FROM edges{lvl} e
+  JOIN map{lvl} ms ON e.src = ms.id
+  JOIN map{lvl} md ON e.dst = md.id
+  GROUP BY 1, 2)"""
+            )
+    parts.append("comp0 AS (SELECT id, super FROM map0)")
+    for lvl in range(1, PLM_LEVELS):
+        parts.append(
+            f"""comp{lvl} AS (SELECT c.id, m.super FROM comp{lvl - 1} c
+  JOIN map{lvl} m ON c.super = m.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(super AS BIGINT) AS label
+FROM comp{PLM_LEVELS - 1} ORDER BY id
 """
     )
 
@@ -3725,6 +3813,7 @@ ORDER BY id
         "luby_mis_cs": _luby_sql(),
         "msf_supplier_co": _msf_sql(),
         "plm_move_supplier_co": _plm_move_sql(),
+        "plm_supplier_co": _plm_full_sql(),
         "stratified_sample_documents": f"""
 SELECT CAST(doc_id AS BIGINT) AS id, lang
 FROM (
@@ -3936,7 +4025,7 @@ def _assemble_oracles(base: dict[str, str]) -> dict[str, str]:
         "wcc_customer_supplier", "plp_supplier_co", "dedup_exact_documents",
         "ngram_jaccard_documents", "near_dup_survivors_documents",
         "minhash_lsh_documents", "simhash_documents", "luby_mis_cs",
-        "msf_supplier_co", "plm_move_supplier_co",
+        "msf_supplier_co", "plm_move_supplier_co", "plm_supplier_co",
         "stratified_sample_documents", "shard_pack_documents",
         "events_sessions", "windowed_events", "top_harmonic_supplier",
         "katz_customer_supplier", "gedwalk_score_supplier",

@@ -414,9 +414,12 @@ def exact_substring_dedup(
         F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
     )
     toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    # persist: doc_grams feeds BOTH the duplicate-gram agg and the
+    # covered-span join — without the cache the corpus-wide gram explode
+    # (the dominant cost) would recompute once per consumer
     doc_grams = base.select(
         "id", F.posexplode(_word_grams(F.col("toks"), k)).alias("gpos", "g")
-    )
+    ).persist()
     dup = (
         doc_grams.groupBy("g")
         .agg(F.min("id").alias("keeper"), F.countDistinct("id").alias("ndocs"))

@@ -219,6 +219,14 @@ def adjusted_rand_link_index(
     if pairs is None:
         pairs = two_hop_pairs(graph)
     else:
+        # canonicalize (least, greatest) BEFORE joining two_hop_pairs —
+        # its rows are canonical u<v, so a caller's (u>v) pair would
+        # otherwise miss and silently coalesce to common=0 (a plausible-
+        # but-wrong score). The score is symmetric in (u, v); output rows
+        # carry the canonical orientation.
+        pairs = pairs.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         pairs = pairs.join(two_hop_pairs(graph), ["u", "v"], "left").select(
             "u", "v", F.coalesce("common", F.lit(0)).alias("common")
         )

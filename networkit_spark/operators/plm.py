@@ -198,15 +198,27 @@ def plm(
     gamma: float = 1.0,
     max_levels: int = 10,
     max_sweeps_per_level: int = 16,
+    hash_fn: str = "xxhash64",
+    fixed: bool = False,
 ) -> DataFrame:
     """(id, label): hierarchical Louvain. Labels compacted per level;
-    prolongation composes the per-level mappings top-down."""
+    prolongation composes the per-level mappings top-down.
+
+    `fixed=True` runs EXACTLY max_levels contraction levels (no
+    converged-early exit) — with hash_fn='lcg' every level's move phase,
+    dense-rank compaction and contraction is pure integer/exact-double
+    arithmetic DuckDB reproduces, so the driver's plm_supplier_co query
+    unrolls to a FULL value oracle (the move-phase early break inside a
+    level is safe either way: "no node has a positive-gain move" is a
+    true fixpoint, so the oracle's full per-level unroll no-ops past
+    it)."""
     level_graph = graph
     mappings: list[DataFrame] = []
     for _ in range(max_levels):
-        labels = _move_phase(level_graph, gamma, max_sweeps_per_level)
-        n_coms = labels.select("label").distinct().count()
-        n_nodes = level_graph.number_of_nodes()
+        labels = _move_phase(level_graph, gamma, max_sweeps_per_level, hash_fn)
+        if not fixed:
+            n_coms = labels.select("label").distinct().count()
+            n_nodes = level_graph.number_of_nodes()
         coarse, mapping = coarsen_by_partition(level_graph, labels)
         # stats_safe_checkpoint, not bare localCheckpoint: each level's
         # tables are joins over the previous level's, and Catalyst's
@@ -216,7 +228,7 @@ def plm(
         from networkit_spark.plans.checkpoint import stats_safe_checkpoint
 
         mappings.append(stats_safe_checkpoint(mapping))
-        if n_coms == n_nodes:
+        if not fixed and n_coms == n_nodes:
             break
         level_graph = GraphDF(
             stats_safe_checkpoint(coarse.V),

@@ -21,19 +21,35 @@ def degree_preserving_shuffle(graph: GraphDF, seed: int = 42) -> GraphDF:
     """DegreePreservingShuffle.cpp: permute node IDENTITIES within equal-
     degree classes — the graph is isomorphic, per-node degrees unchanged,
     labels decorrelated. Permutation: within each degree class, the i-th
-    node by id takes the id of the i-th node by seeded hash."""
-    deg = graph.degrees()
-    by_id = Window.partitionBy("degree").orderBy("id")
-    by_hash = Window.partitionBy("degree").orderBy(
-        F.xxhash64("id", F.lit(seed)), "id"
+    node by id takes the id of the i-th node by seeded hash.
+
+    Scale note: per-class positions come from the two-stage GLOBAL rank
+    (plans/ranking.global_row_numbers over (degree, key)) minus a
+    broadcast per-class base — NOT `Window.partitionBy("degree")`. On a
+    power-law graph the degree-1 class holds a constant fraction of ALL
+    nodes; a per-class window would sort ~half the vertex set in one
+    task, twice (VERDICT r4 weak #1)."""
+    deg = graph.degrees().persist()
+    deg.count()
+    # global rank in (degree, id) order; per-class 0-based position =
+    # rank − min(rank within class). The base table has one row per
+    # DISTINCT degree — broadcast, so the skewed-key join never shuffles.
+    by_id = global_row_numbers(deg, ["degree", "id"], out_col="gp")
+    hashed = deg.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+    by_hash = global_row_numbers(hashed, ["degree", "_h", "id"], out_col="gp")
+    base = F.broadcast(by_id.groupBy("degree").agg(F.min("gp").alias("_base")))
+    pos = by_id.join(base, "degree").select(
+        "degree",
+        (F.col("gp") - F.col("_base")).alias("p"),
+        F.col("id").alias("old_id"),
     )
-    pos = deg.withColumn("p", F.row_number().over(by_id)).select(
-        "degree", "p", F.col("id").alias("old_id")
-    )
-    tgt = deg.withColumn("p", F.row_number().over(by_hash)).select(
-        "degree", "p", F.col("id").alias("new_id")
+    tgt = by_hash.join(base, "degree").select(
+        "degree",
+        (F.col("gp") - F.col("_base")).alias("p"),
+        F.col("id").alias("new_id"),
     )
     mapping = pos.join(tgt, ["degree", "p"]).select("old_id", "new_id")
+    deg.unpersist()
     src_m = mapping.select(F.col("old_id").alias("src"), F.col("new_id").alias("ns"))
     dst_m = mapping.select(F.col("old_id").alias("dst"), F.col("new_id").alias("nd"))
     e = (

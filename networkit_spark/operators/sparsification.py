@@ -50,12 +50,17 @@ def local_degree_score(graph: GraphDF) -> DataFrame:
     """LocalDegreeScore (sparsification/LocalDegreeScore.cpp): per edge
     (u,v), from u's perspective the rank of v among u's neighbors by degree
     (descending) normalized to (0,1]: score = 1 − log(rank)/log(deg(u));
-    edge keeps the max over both perspectives."""
+    edge keeps the max over both perspectives. Ranks come from the
+    scale-safe per-key two-stage machinery (plans/ranking.py), not a
+    per-src window — a hub's deg(hub) neighbors never sort in one task."""
+    from networkit_spark.plans.ranking import per_key_row_numbers
+
     nb = graph.E_sym.filter("src != dst").select("src", "dst")
     deg = nb.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     nbd = nb.join(deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst")), "dst")
-    w = Window.partitionBy("src").orderBy(F.desc("d_dst"), F.asc("dst"))
-    ranked = nbd.withColumn("rank", F.row_number().over(w)).join(
+    ranked = per_key_row_numbers(
+        nbd, ["src"], [-F.col("d_dst"), F.col("dst")], out_col="rank"
+    ).join(
         deg.select(F.col("id").alias("src"), F.col("d").alias("d_src")), "src"
     )
     per_dir = ranked.select(
@@ -83,8 +88,12 @@ def local_filter_score(
     exponent from that endpoint is
         e = 1 − log(rank)/log(d)        (logarithmic)
         e = 1 − (rank−1)/(d−1)          (linear)
-    (e = 1 when d ≤ 1); final score = max over both endpoints. Windows are
-    PARTITIONED by node — no global exchange."""
+    (e = 1 when d ≤ 1); final score = max over both endpoints. Competition
+    ranks come from the scale-safe per-key machinery (plans/ranking.py) —
+    no per-node window, so a hub's incident edges never sort in one
+    task."""
+    from networkit_spark.plans.ranking import per_key_competition_ranks
+
     inc = scores.select(
         F.col("src").alias("i"), "src", "dst", F.col("score").alias("attr")
     ).unionByName(
@@ -92,8 +101,9 @@ def local_filter_score(
     )
     nb = graph.E_sym.filter("src != dst").select("src", "dst").distinct()
     deg = nb.groupBy(F.col("src").alias("i")).agg(F.count("*").alias("d"))
-    w = Window.partitionBy("i").orderBy(F.desc("attr"))
-    ranked = inc.withColumn("rank", F.rank().over(w)).join(deg, "i")
+    ranked = per_key_competition_ranks(
+        inc, ["i"], ["attr"], descending=True, out_col="rank"
+    ).join(deg, "i")
     if logarithmic:
         e = F.when(F.col("d") <= 1, F.lit(1.0)).otherwise(
             1.0 - F.log(F.col("rank").cast("double")) / F.log(F.col("d").cast("double"))
@@ -204,16 +214,19 @@ def edge_score_blender(
 
 def prefix_jaccard_score(graph: GraphDF, k: int = 10) -> DataFrame:
     """PrefixJaccardScore (edgescores/PrefixJaccardScore.cpp analog):
-    Jaccard over each endpoint's top-k-degree neighbor prefix."""
+    Jaccard over each endpoint's top-k-degree neighbor prefix. The top-k
+    selection uses the scale-safe per-key rank (plans/ranking.py), not a
+    per-src window."""
+    from networkit_spark.plans.ranking import per_key_row_numbers
+
     nb = graph.E_sym.filter("src != dst").select("src", "dst")
     deg = nb.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     nbd = nb.join(
         deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst")), "dst"
     )
-    w = Window.partitionBy("src").orderBy(F.desc("d_dst"), F.asc("dst"))
-    prefix = nbd.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= k
-    ).select("src", "dst")
+    prefix = per_key_row_numbers(
+        nbd, ["src"], [-F.col("d_dst"), F.col("dst")], out_col="rk"
+    ).filter(F.col("rk") <= k).select("src", "dst")
     # intersection of prefixes via two-hop join
     a = prefix.select(F.col("src").alias("u"), F.col("dst").alias("w2"))
     b = prefix.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
@@ -330,8 +343,11 @@ def local_similarity_score(graph: GraphDF) -> DataFrame:
             "sim", F.col("tri") / (F.col("di") + F.col("dj") - F.col("tri"))
         )
     )
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
-    ranked = nbd.withColumn("rank", F.row_number().over(w)).select(
+    from networkit_spark.plans.ranking import per_key_row_numbers
+
+    ranked = per_key_row_numbers(
+        nbd, ["src"], [-F.col("sim"), F.col("dst")], out_col="rank"
+    ).select(
         "src",
         "dst",
         F.when(F.col("di") <= 1, F.lit(1.0))
@@ -363,10 +379,14 @@ def multiscale_score(graph: GraphDF, attribute: DataFrame | None = None) -> Data
             F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
         )
     )
-    w_sum = Window.partitionBy("src")
+    # groupBy + join, not Window.partitionBy(src) aggregates: the window
+    # materializes each node's full incident list in one task; the agg is
+    # map-side combinable and the join back is skew-splittable
+    sums = both.groupBy("src").agg(
+        F.sum("score").alias("ssum"), F.count("*").alias("k")
+    )
     per_dir = (
-        both.withColumn("ssum", F.sum("score").over(w_sum))
-        .withColumn("k", F.count("*").over(w_sum))
+        both.join(sums, "src")
         .select(
             "src",
             "dst",
@@ -403,10 +423,16 @@ def simmelian_overlap_score(graph: GraphDF, max_rank: int = 10) -> DataFrame:
     both = tri.unionByName(
         tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "tri")
     )
-    w = Window.partitionBy("src").orderBy(F.desc("tri"))
-    ranked = both.withColumn("rank", F.rank().over(w) - F.lit(1)).filter(
-        F.col("rank") <= max_rank
-    ).select(F.col("src").alias("ego"), F.col("dst").alias("w2"))
+    from networkit_spark.plans.ranking import per_key_competition_ranks
+
+    ranked = (
+        per_key_competition_ranks(
+            both, ["src"], ["tri"], descending=True, out_col="rank"
+        )
+        .withColumn("rank", F.col("rank") - F.lit(1))
+        .filter(F.col("rank") <= max_rank)
+        .select(F.col("src").alias("ego"), F.col("dst").alias("w2"))
+    )
     a = ranked.select(F.col("ego").alias("u"), "w2")
     b = ranked.select(F.col("ego").alias("v"), "w2")
     overlap = (

@@ -182,3 +182,68 @@ def dense_rank_of_distinct(
     return global_row_numbers(
         distinct, [value_col], out_col=out_col, num_partitions=num_partitions
     )
+
+
+def per_key_row_numbers(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based row number WITHIN each `key_cols` group in `order_cols`
+    order — the scale-safe `row_number() OVER (PARTITION BY key ORDER BY
+    ...)`. A per-key window sorts deg(key) rows in ONE task (a power-law
+    hub's 10^8 neighbors); here the rank comes from the two-stage GLOBAL
+    rank over (keys, order) minus a per-key base, so no task ever sorts
+    more than a range partition (VERDICT r4 #6).
+
+    `order_cols` entries may be column names or Column expressions
+    (e.g. `-F.col("d")` for descending — all callers order numerics).
+    Pass a tie-breaking unique suffix for deterministic output."""
+    work = df
+    names = []
+    for i, oc in enumerate(order_cols):
+        if isinstance(oc, str):
+            names.append(oc)
+        else:
+            nm = f"_ord{i}"
+            work = work.withColumn(nm, oc)
+            names.append(nm)
+    gp = global_row_numbers(
+        work, key_cols + names, out_col="_gp", num_partitions=num_partitions
+    )
+    base = gp.groupBy(*key_cols).agg(F.min("_gp").alias("_base"))
+    out = gp.join(base, key_cols).withColumn(
+        out_col, (F.col("_gp") - F.col("_base") + F.lit(1)).cast("long")
+    )
+    drop = ["_gp", "_base"] + [n for n in names if n.startswith("_ord")]
+    return out.drop(*drop)
+
+
+def per_key_competition_ranks(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    descending: bool = True,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based competition rank (`rank() OVER (PARTITION BY key ORDER BY
+    value)`: ties share the MIN rank) — scale-safe: the per-key row
+    number's minimum over each (key, value) tie group. Intra-tie order is
+    arbitrary; the group-min makes the rank deterministic regardless."""
+    order = [
+        (-F.col(v) if descending else F.col(v)) for v in value_cols
+    ]
+    rn = per_key_row_numbers(
+        df, key_cols, order, out_col="_rn", num_partitions=num_partitions
+    )
+    grp = rn.groupBy(*(key_cols + value_cols)).agg(
+        F.min("_rn").alias("_cr")
+    )
+    return (
+        rn.join(grp, key_cols + value_cols)
+        .withColumn(out_col, F.col("_cr").cast("long"))
+        .drop("_rn", "_cr")
+    )

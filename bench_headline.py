@@ -39,6 +39,10 @@ def run_once(kernel: str, cpus: str, sf_dir: str) -> float:
         BENCH_KERNELS=kernel,
         SPARK_GRAFT_CPUS=cpus,
         SPARK_GRAFT_SF_DIR=sf_dir,
+        # bench.py's in-JVM median-of-BENCH_TRIALS (driver stability) would
+        # nest medians here; this protocol's unit is ONE cold sample per
+        # fresh JVM, so pin it to a single trial
+        BENCH_TRIALS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -350,6 +350,9 @@ def _struct_max_fixpoint(
     init_color: DataFrame,
     max_inner: int,
     check_every: int = 1,
+    stats: dict | None = None,
+    jumps_per_sweep: int = 1,
+    broadcast_colors: bool = False,
 ) -> DataFrame:
     """Shared SCC inner loop: struct-max reachability coloring over `edges`
     with pointer jumping via the carrier node. `init_color` is (id, c)
@@ -361,21 +364,39 @@ def _struct_max_fixpoint(
     and the fixpoint bit-identical at any cadence."""
     color = init_color
     interm: list[DataFrame] = []
+
+    # broadcast the |V|-sized color state into every sweep join (the
+    # measured wcc broadcast_labels pattern, components.py:60-68) — the
+    # edge join, the update join and the jump join all lose their
+    # vertex-side exchange+sort; auto-gated by the caller on active-set
+    # size so the co-partitioned shuffle join stays the 100-TB path
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_colors else df
+
     # single-job sweeps (see _hash_min_fixpoint): the lineage-truncating
     # localCheckpoint is lazy — plan break now, materialization inside the
     # next sweep's count job; the backing cache is released one sweep late
     prev_cache: DataFrame | None = None
     n_changed = 0
+    # DELTA FRONTIER: only colors that CHANGED last sweep propagate.
+    # Monotone-max induction makes this bit-identical per sweep to the
+    # propagate-everything form: a node's current color already dominates
+    # every neighbor color propagated in earlier sweeps, and any color
+    # change (edge propagation OR pointer jump) lands the row back in the
+    # delta via the carried `old` column. Late sweeps — where only a
+    # sliver of the graph still moves but the full-frontier join output
+    # stayed |E|-sized — collapse to near-empty join outputs.
+    delta = color
     for it in range(max_inner):
         nbr = (
-            edges.join(color, edges.src == color.id)
+            edges.join(_bc(delta), edges.src == delta.id)
             .groupBy("dst")
             .agg(F.max("c").alias("nc"))
         )
         # carry the pre-sweep color as `old`: convergence is a cheap scan
         # of the materialized rows, not an extra |V|⋈|V| compare join
         new_color = (
-            color.join(nbr, color.id == nbr.dst, "left")
+            color.join(_bc(nbr), color.id == nbr.dst, "left")
             .select(
                 "id",
                 F.greatest(F.col("c"), F.coalesce("nc", F.col("c"))).alias("c"),
@@ -390,19 +411,20 @@ def _struct_max_fixpoint(
         # color cache every sweep costs more than the duplicated
         # post-exchange work (the exchanges themselves are reused). Keep
         # the recompute.
-        parent = new_color.select(
-            F.col("id").alias("p_id"), F.col("c").alias("p_c")
-        )
-        new_color = (
-            new_color.join(
-                parent, new_color.c.getField("n") == parent.p_id, "left"
+        for _j in range(max(1, jumps_per_sweep)):
+            parent = new_color.select(
+                F.col("id").alias("p_id"), F.col("c").alias("p_c")
             )
-            .select(
-                "id",
-                F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
-                "old",
+            new_color = (
+                new_color.join(
+                    _bc(parent), new_color.c.getField("n") == parent.p_id, "left"
+                )
+                .select(
+                    "id",
+                    F.greatest(F.col("c"), F.coalesce("p_c", F.col("c"))).alias("c"),
+                    "old",
+                )
             )
-        )
         block_end = (
             check_every <= 1
             or it % check_every == check_every - 1
@@ -412,6 +434,9 @@ def _struct_max_fixpoint(
             new_color = new_color.persist()
             interm.append(new_color)
             color = new_color.select("id", "c")
+            delta = new_color.filter(F.col("c") != F.col("old")).select(
+                "id", "c"
+            )
             continue
         # "the LAST sweep changed nothing" ⟹ fixpoint — cadence-invariant.
         # persist FIRST, count from cache, checkpoint from cache: an eager
@@ -421,6 +446,8 @@ def _struct_max_fixpoint(
         # transcripts conv graph until this ordering was restored.
         cached = new_color.persist()
         n_changed = cached.filter(F.col("c") != F.col("old")).count()
+        if stats is not None:
+            stats["sweeps"] = stats.get("sweeps", 0) + 1
         if n_changed == 0:
             # no-op sweep: values equal the previous (already-truncated)
             # colors, so return those instead of paying a checkpoint job
@@ -431,6 +458,7 @@ def _struct_max_fixpoint(
             break
         new_color = cached.localCheckpoint(eager=False)
         color = new_color.select("id", "c")
+        delta = new_color.filter(F.col("c") != F.col("old")).select("id", "c")
         if prev_cache is not None:
             prev_cache.unpersist()
         prev_cache = cached
@@ -449,6 +477,9 @@ def _struct_max_fixpoint(
 def strongly_connected_components(
     graph: GraphDF, max_rounds: int = 100, max_inner: int = 100,
     check_every: int = 1, trim_sweeps: int = 3,
+    local_finish_threshold: int = 100_000, jumps_per_sweep: int = 1,
+    stats: dict | None = None, broadcast_colors: bool | None = None,
+    fused_fwbw: bool = True,
 ) -> DataFrame:
     """(id: long, component: long) — SCCs of a DIRECTED graph.
 
@@ -472,6 +503,30 @@ def strongly_connected_components(
     the SCC's minimum node id (the reference's Tarjan completion order is
     DFS-dependent; structure matches exactly, ids are renumbered —
     partition-isomorphic, as its own testComparePartitions does).
+
+    `local_finish_threshold`: once the active remnant (nodes + edges,
+    after round 0) fits under this row bound, a single collect + driver
+    Tarjan replaces all remaining rounds — the tail rounds are pure
+    job-launch fixed cost (the Amdahl f-term in BENCH/BASELINE.md), and
+    the collected data is O(threshold) by construction. 0 disables
+    (pure distributed path; results identical either way since ids are
+    renumbered from structure alone).
+
+    `fused_fwbw` (default True): run the forward and backward colorings
+    as ONE fixpoint over a side-tagged doubled edge set (id2 = 2·id +
+    side; requires ids < 2^62) with bc(v) = max-priority node v reaches,
+    UNRESTRICTED — peel {fc=bc=x} = SCC(x) exactly. Per-sweep rows
+    double but the driver-sequenced job count HALVES (sweeps 14→7
+    measured on uniform 2^18/8), attacking the core-count-independent
+    f-term directly: fresh-JVM medians 27.8→18.8s at 8 cores and
+    29→26.3s at 2 cores, fitted f down ~40%; output bit-identical
+    (test_scc_fused_fwbw_bit_identical). False = sequential fwd then
+    class-restricted bwd (the r4 shape).
+
+    `jumps_per_sweep`: extra pointer jumps per sweep — MEASURED no-win
+    (uniform 2^18/8: sweep count unchanged at any value because
+    convergence is edge-propagation-bound, not pointer-depth-bound;
+    j2/j3 only added join cost, 24→38/47s at 8 cores). Keep 1.
     """
     if not graph.directed:
         raise ValueError("strongly_connected_components requires a directed graph")
@@ -483,15 +538,89 @@ def strongly_connected_components(
     prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
-        return _scc_impl(graph, max_rounds, max_inner, check_every, trim_sweeps)
+        return _scc_impl(
+            graph, max_rounds, max_inner, check_every, trim_sweeps,
+            local_finish_threshold, stats=stats,
+            jumps_per_sweep=jumps_per_sweep,
+            broadcast_colors=broadcast_colors, fused_fwbw=fused_fwbw,
+        )
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
 
 
+def _tarjan_local(nodes: list[int], edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Iterative Tarjan over a driver-local remnant; returns (id, label)
+    with label = the SCC's min node id. Used ONLY under the bounded
+    local-finish threshold — the remnant is O(threshold) rows by
+    construction, never the input graph."""
+    adj: dict[int, list[int]] = {v: [] for v in nodes}
+    for u, v in edges:
+        if u in adj and v in adj:
+            adj[u].append(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: list[tuple[int, int]] = []
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        # explicit DFS stack of (node, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj[v]
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                lab = min(comp)
+                out.extend((w, lab) for w in comp)
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return out
+
+
 def _scc_impl(
     graph: GraphDF, max_rounds: int, max_inner: int, check_every: int = 1,
-    max_trim_sweeps: int = 3,
+    max_trim_sweeps: int = 3, local_finish_threshold: int = 100_000,
+    stats: dict | None = None, jumps_per_sweep: int = 1,
+    broadcast_colors: bool | None = None, fused_fwbw: bool = False,
 ) -> DataFrame:
+    import time as _time
+
+    def _mark(phase: str, t0: float) -> float:
+        if stats is not None:
+            stats.setdefault("phases", {})
+            stats["phases"][phase] = stats["phases"].get(phase, 0.0) + (
+                _time.time() - t0
+            )
+        return _time.time()
     e_all = (
         graph.E.select("src", "dst").filter("src != dst").distinct()
         .repartition("src").sortWithinPartitions("src").persist()
@@ -510,6 +639,7 @@ def _scc_impl(
     n_active = active_v.count()
     assigned = []  # DataFrames (id, label) with label = SCC pivot id
 
+    spark = graph.V.sparkSession
     for rnd in range(max_rounds):
         if n_active == 0:
             break
@@ -518,6 +648,34 @@ def _scc_impl(
             # its own SCC — assign in bulk instead of paying two fixpoint
             # rounds that would peel them one sweep at a time
             assigned.append(active_v.select("id", F.col("id").alias("label")))
+            break
+        # ---- BOUNDED LOCAL FINISH: after the giant SCC is cut out, the
+        # remnant shrinks geometrically but the round structure doesn't —
+        # each tail round still pays trim + two nested fixpoints of
+        # driver-sequenced job launches on near-empty tables. That fixed
+        # cost is the measured core-count-INDEPENDENT f-term capping the
+        # 2→8-core efficiency at 0.624 (BENCH/BASELINE.md Amdahl fit).
+        # Once the ACTIVE remnant fits the threshold (rows collected are
+        # O(threshold) by construction — never the input), one collect +
+        # driver Tarjan replaces ALL remaining rounds with a single job.
+        # Output-identical: the final renumber (dense rank of per-SCC min
+        # id) depends only on the SCC structure, and a pytest pins
+        # threshold=0 (pure distributed) against the default path.
+        if (
+            0 < local_finish_threshold
+            and rnd > 0
+            and n_active + n_active_e <= local_finish_threshold
+        ):
+            nodes = [int(r["id"]) for r in active_v.collect()]
+            rem_edges = [
+                (int(r["src"]), int(r["dst"])) for r in active_e.collect()
+            ]
+            pairs = _tarjan_local(nodes, rem_edges)
+            assigned.append(
+                spark.createDataFrame(pairs, "id long, label long")
+                if pairs
+                else active_v.select("id", F.col("id").alias("label"))
+            )
             break
         # ---- 0. TRIM (FW-BW-Trim, Slota–Rajamanickam–Madduri IPDPS'14):
         # a node with no in-edge or no out-edge in the ACTIVE subgraph can
@@ -535,6 +693,7 @@ def _scc_impl(
         # digraph scale 20 unchanged (77.4 vs 77.6s); cyclic-heavy conv
         # graph ~8% slower (32.3 vs 29.8s) — the DAG win dominates, so
         # the default stays 3 (trim_sweeps=0 disables).
+        _t = _time.time()
         trim_sweeps = 0
         while n_active > 0 and n_active_e > 0 and trim_sweeps < max_trim_sweeps:
             trim_sweeps += 1
@@ -556,6 +715,7 @@ def _scc_impl(
             n_keep = keep_v.count()
             if n_keep == n_active:
                 break
+            removed = n_active - n_keep
             # lazy: both parents are checkpointed and it is read once in
             # the final union
             assigned.append(
@@ -564,6 +724,17 @@ def _scc_impl(
             )
             active_v = keep_v
             n_active = n_keep
+            if removed * 100 < n_active:
+                # LOW-YIELD EXIT: this sweep peeled <1% of the active set —
+                # rebuilding + re-counting the edge table (two full-|E|
+                # semi-joins) to drop a sliver is the dominant trim cost on
+                # giant-SCC inputs (measured 25s of a 155s run at 8 cores
+                # removing 0.03% of nodes). Leave active_e STALE: edges
+                # incident to just-trimmed nodes join to nothing in the
+                # fixpoints (colors only exist for active_v) and the
+                # round-end cut drops them anyway — correctness unaffected,
+                # only a sliver of dead join probes rides one round.
+                break
             active_e = (
                 active_e
                 .join(keep_v.withColumnRenamed("id", "src"), "src", "left_semi")
@@ -572,57 +743,156 @@ def _scc_impl(
                 .localCheckpoint(eager=False)
             )
             n_active_e = active_e.count()
+        _t = _mark("trim", _t)
         if n_active == 0 or n_active_e == 0:
             if n_active > 0:
                 assigned.append(
                     active_v.select("id", F.col("id").alias("label"))
                 )
             break
-        # ---- 1. forward MAX-PRIORITY coloring with pointer jumping.
-        # Priorities are per-round seeded hashes, NOT raw ids: with raw ids
-        # a monotone chain (the shape of temporal conv graphs) peels one
-        # pivot per round — O(depth) rounds. Random priorities split every
-        # chain at its priority record-maxima, giving O(log n) expected
-        # rounds (the Coppersmith–Fleischer–Pinar random-pivot argument).
-        # The color is a (priority, node) struct so pointer jumping can
-        # follow the carrier node. The SAME checkpointed init seeds both
-        # the forward and the backward fixpoint (identical by definition).
-        init = active_v.select(
-            "id",
-            F.struct(
-                F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
-                F.col("id").alias("n"),
-            ).alias("c"),
-            # lazy: the forward fixpoint's first sweep materializes it;
-            # the backward fixpoint then reads the same checkpoint storage
-        ).localCheckpoint(eager=False)
-        color = _struct_max_fixpoint(active_e, init, max_inner, check_every)
-        color = color.select("id", F.col("c").getField("n").alias("color"))
-        # ---- 2. backward containment as a SECOND coloring fixpoint.
-        # Every class member has strictly lower priority than its pivot
-        # (color(w)=c requires (p(c),c) > (p(w),w)), so within a class the
-        # pivot is the unique max-priority node; bcolor(v) = max-priority
-        # node REACHABLE from v within the class therefore equals the pivot
-        # IFF v reaches it. Same struct-max + pointer-jump machinery over
-        # the REVERSED same-class edges — O(log depth) supersteps, not the
-        # O(depth) level BFS this used to be. The reversed table is
-        # re-partitioned + sorted on its join key BEFORE the checkpoint so
-        # every inner superstep's SMJ skips exchange AND sort on the edge
-        # side (LogicalRDD preserves partitioning/ordering).
-        c_src = color.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
-        c_dst = color.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
-        e_rev = (
-            active_e.join(c_src, "src").join(c_dst, "dst")
-            .filter(F.col("c_src") == F.col("c_dst"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            .repartition("src").sortWithinPartitions("src")
-            .localCheckpoint(eager=False)
+        # auto-broadcast threshold is DELIBERATELY far below wcc's 4M:
+        # with the delta frontier the shuffle side of the propagation join
+        # is already small after a few sweeps, but the pointer jump's
+        # parent side stays 2|V| struct rows — broadcasting it rebuilds a
+        # driver-side relation EVERY sweep. MEASURED on uniform 2^21/8 at
+        # 8 cores post-delta-frontier: broadcast 150.6s vs shuffle 120.5s
+        # medians. Small fixtures (driver queries) still win with it.
+        bc = (
+            broadcast_colors
+            if broadcast_colors is not None
+            else n_active <= 512_000
         )
-        bcolor = _struct_max_fixpoint(e_rev, init, max_inner, check_every)
-        bcolor = bcolor.select("id", F.col("c").getField("n").alias("bcolor"))
-        # lazy: the remaining.count() below materializes it; scc/cs/cd then
-        # read the same checkpoint storage
-        cells = color.join(bcolor, "id").localCheckpoint(eager=False)
+        if fused_fwbw:
+            # ---- 1+2 FUSED: forward AND backward max-priority colorings
+            # in ONE fixpoint over a side-tagged doubled edge set.
+            # fc(v) = max-priority node reaching v; bc(v) = max-priority
+            # node v reaches (UNRESTRICTED — no same-class filter). Peel
+            # {fc(v)=bc(v)=x} = SCC(x) exactly (x reaches v and v reaches
+            # x); the global-priority-max node always peels, and random
+            # per-round priorities give the CFP expected O(log n) rounds.
+            # Both signatures are constant on an SCC, so the (fc, bc) cell
+            # cut below stays sound. The two colorings never interact, so
+            # the remap id2 = 2·id + side runs them through the SAME
+            # struct-max machinery — per-sweep work doubles (2|E| rows in
+            # one job) while the DRIVER-SEQUENCED job count halves vs the
+            # sequential fwd-then-bwd rounds: job launch + planning is the
+            # core-count-independent Amdahl f-term capping 2→8-core
+            # efficiency (BENCH/BASELINE.md), so trading rows-per-job for
+            # jobs is exactly the f attack. Priorities hash the ORIGINAL
+            # id (both sides agree); the struct tie-break by id2 is
+            # side-consistent since edges never cross sides. Requires
+            # ids < 2^62 (the doubling; checked nowhere — document).
+            e2 = (
+                active_e.select(
+                    (F.col("src") * 2).alias("src"),
+                    (F.col("dst") * 2).alias("dst"),
+                )
+                .unionByName(
+                    active_e.select(
+                        (F.col("dst") * 2 + 1).alias("src"),
+                        (F.col("src") * 2 + 1).alias("dst"),
+                    )
+                )
+                .repartition("src").sortWithinPartitions("src")
+                .localCheckpoint(eager=False)
+            )
+            init2 = (
+                active_v.select(
+                    (F.col("id") * 2).alias("id"),
+                    F.struct(
+                        F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
+                        (F.col("id") * 2).alias("n"),
+                    ).alias("c"),
+                )
+                .unionByName(
+                    active_v.select(
+                        (F.col("id") * 2 + 1).alias("id"),
+                        F.struct(
+                            F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
+                            (F.col("id") * 2 + 1).alias("n"),
+                        ).alias("c"),
+                    )
+                )
+                .localCheckpoint(eager=False)
+            )
+            both = _struct_max_fixpoint(
+                e2, init2, max_inner, check_every, stats=stats,
+                jumps_per_sweep=jumps_per_sweep, broadcast_colors=bc,
+            )
+            _t = _mark("fwd", _t)
+            fc = both.filter(F.col("id") % 2 == 0).select(
+                F.shiftright("id", 1).alias("id"),
+                F.shiftright(F.col("c").getField("n"), 1).alias("color"),
+            )
+            bcol = both.filter(F.col("id") % 2 == 1).select(
+                F.shiftright("id", 1).alias("id"),
+                F.shiftright(F.col("c").getField("n"), 1).alias("bcolor"),
+            )
+            # lazy: the remaining.count() below materializes it
+            cells = fc.join(bcol, "id").localCheckpoint(eager=False)
+        else:
+            # ---- 1. forward MAX-PRIORITY coloring with pointer jumping.
+            # Priorities are per-round seeded hashes, NOT raw ids: with raw
+            # ids a monotone chain (the shape of temporal conv graphs) peels
+            # one pivot per round — O(depth) rounds. Random priorities split
+            # every chain at its priority record-maxima, giving O(log n)
+            # expected rounds (the Coppersmith–Fleischer–Pinar random-pivot
+            # argument). The color is a (priority, node) struct so pointer
+            # jumping can follow the carrier node. The SAME checkpointed
+            # init seeds both the forward and the backward fixpoint
+            # (identical by definition).
+            init = active_v.select(
+                "id",
+                F.struct(
+                    F.xxhash64("id", F.lit(77), F.lit(rnd)).alias("p"),
+                    F.col("id").alias("n"),
+                ).alias("c"),
+                # lazy: the forward fixpoint's first sweep materializes it;
+                # the backward fixpoint then reads the same checkpoint
+                # storage
+            ).localCheckpoint(eager=False)
+            color = _struct_max_fixpoint(
+                active_e, init, max_inner, check_every, stats=stats,
+                jumps_per_sweep=jumps_per_sweep, broadcast_colors=bc,
+            )
+            _t = _mark("fwd", _t)
+            color = color.select("id", F.col("c").getField("n").alias("color"))
+            # ---- 2. backward containment as a SECOND coloring fixpoint.
+            # Every class member has strictly lower priority than its pivot
+            # (color(w)=c requires (p(c),c) > (p(w),w)), so within a class
+            # the pivot is the unique max-priority node; bcolor(v) =
+            # max-priority node REACHABLE from v within the class therefore
+            # equals the pivot IFF v reaches it. Same struct-max +
+            # pointer-jump machinery over the REVERSED same-class edges —
+            # O(log depth) supersteps, not the O(depth) level BFS this used
+            # to be. The reversed table is re-partitioned + sorted on its
+            # join key BEFORE the checkpoint so every inner superstep's SMJ
+            # skips exchange AND sort on the edge side (LogicalRDD
+            # preserves partitioning/ordering).
+            c_src = color.select(
+                F.col("id").alias("src"), F.col("color").alias("c_src")
+            )
+            c_dst = color.select(
+                F.col("id").alias("dst"), F.col("color").alias("c_dst")
+            )
+            e_rev = (
+                active_e.join(c_src, "src").join(c_dst, "dst")
+                .filter(F.col("c_src") == F.col("c_dst"))
+                .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                .repartition("src").sortWithinPartitions("src")
+                .localCheckpoint(eager=False)
+            )
+            bcolor = _struct_max_fixpoint(
+                e_rev, init, max_inner, check_every, stats=stats,
+                jumps_per_sweep=jumps_per_sweep, broadcast_colors=bc,
+            )
+            _t = _mark("bwd", _t)
+            bcolor = bcolor.select(
+                "id", F.col("c").getField("n").alias("bcolor")
+            )
+            # lazy: the remaining.count() below materializes it; scc/cs/cd
+            # then read the same checkpoint storage
+            cells = color.join(bcolor, "id").localCheckpoint(eager=False)
         # scc / active_v are cheap projections of the checkpointed `cells` —
         # no extra checkpoints or anti-joins needed (assigned ⟺ color==bcolor)
         scc = cells.filter(F.col("color") == F.col("bcolor")).select(
@@ -666,6 +936,9 @@ def _scc_impl(
             .localCheckpoint(eager=False)
         )
         n_active_e = active_e.count()
+        _mark("cut", _t)
+        if stats is not None:
+            stats["rounds"] = rnd + 1
     e_all.unpersist()
     if not assigned:
         return graph.V.select(

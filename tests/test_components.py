@@ -249,3 +249,54 @@ def test_scc_deep_chain_with_cycles(spark):
     g = GraphDF.from_edge_list(spark, edges, directed=True, num_nodes=n)
     labels = _labels(strongly_connected_components(g))
     assert _groups(labels) == set(_tarjan_oracle(n, edges))
+
+
+def test_scc_local_finish_bit_identical(spark):
+    # the bounded driver-local Tarjan finish (local_finish_threshold) is a
+    # physical execution change only — component ids must be bit-identical
+    # to the pure distributed path (threshold 0 disables the local finish)
+    from networkit_spark.operators.components import strongly_connected_components
+
+    edges = powerlaw_directed_edges(n=150, m=600, seed=23)
+    g = GraphDF.from_edge_list(spark, edges, directed=True, num_nodes=150)
+    hybrid = _labels(strongly_connected_components(g))
+    pure = _labels(strongly_connected_components(g, local_finish_threshold=0))
+    assert hybrid == pure
+    assert _groups(hybrid) == set(_tarjan_oracle(150, edges))
+
+
+def test_tarjan_local_unit():
+    # driver-local Tarjan helper: two cycles bridged by a DAG edge + an
+    # isolated node; labels are each SCC's min id
+    from networkit_spark.operators.components import _tarjan_local
+
+    nodes = [0, 1, 2, 3, 4, 5, 6]
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    got = dict(_tarjan_local(nodes, edges))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_tarjan_local_deep_chain():
+    # 5000-node cycle: the iterative DFS must not hit recursion limits and
+    # must return one SCC
+    from networkit_spark.operators.components import _tarjan_local
+
+    n = 5000
+    nodes = list(range(n))
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = dict(_tarjan_local(nodes, edges))
+    assert set(got.values()) == {0} and len(got) == n
+
+
+def test_scc_fused_fwbw_bit_identical(spark):
+    # fused forward+backward coloring (one fixpoint over the side-tagged
+    # doubled edge set) vs the sequential fwd-then-class-restricted-bwd
+    # rounds: different peel order per round, identical final components
+    from networkit_spark.operators.components import strongly_connected_components
+
+    edges = powerlaw_directed_edges(n=150, m=600, seed=29)
+    g = GraphDF.from_edge_list(spark, edges, directed=True, num_nodes=150)
+    fused = _labels(strongly_connected_components(g, fused_fwbw=True))
+    seq = _labels(strongly_connected_components(g, fused_fwbw=False))
+    assert fused == seq
+    assert _groups(fused) == set(_tarjan_oracle(150, edges))

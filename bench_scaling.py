@@ -516,16 +516,50 @@ def main():
         "  test (test_*_broadcast_*_bit_identical).",
         "",
         "SCC serial-term decomposition (round 4, uniform 2^21/8): fitting",
-        "T(N) = f + p/N to the measured 2/8-core times gives f ~= 82s of",
+        "T(N) = f + p/N to the measured 2/8-core times gave f ~= 82s of",
         "core-count-INDEPENDENT time vs p ~= 652s of parallel work — the",
-        "f is the python-driver-sequenced nested fixpoint itself (CFP runs",
-        "O(log^2) rounds, each an inner forward/backward closure of short",
-        "Spark jobs whose launch + AQE-plan time never parallelizes), not",
-        "a data-plane property. 2->8 efficiency is capped at",
-        "(f+p/2)/(4*(f+p/8)) = 0.62 by that floor; on a real cluster the",
-        "SAME floor amortizes because the per-round closures run on",
-        "1000x more edges for the same number of rounds (rounds grow",
-        "log-squared in |V| while work grows linearly).",
+        "f is the python-driver-sequenced nested fixpoint itself (the",
+        "inner forward/backward closures are short Spark jobs whose",
+        "launch + AQE-plan time never parallelizes), capping 2->8",
+        "efficiency at 0.62.",
+        "",
+        "SCC f-term attack (round 5, same pre-generated uniform 2^21/8",
+        "input, bit-identical outputs — every change pytest-pinned",
+        "against the old path):",
+        "1) FUSED FW+BW: the forward and backward colorings never",
+        "   interact, so id2 = 2*id + side runs BOTH through one fixpoint",
+        "   over the side-tagged doubled edge table; bc(v) = max-priority",
+        "   node v reaches (UNRESTRICTED — peel {fc=bc=x} = SCC(x)",
+        "   exactly). Driver-sequenced sweeps 14 -> 7; rows per sweep",
+        "   double (p unchanged, f halved). Extra pointer jumps were",
+        "   measured FIRST and rejected: sweep count is edge-propagation-",
+        "   bound, not pointer-depth-bound (jumps_per_sweep 2/3 left 14",
+        "   sweeps and only added join cost).",
+        "2) DELTA FRONTIER: only colors changed last sweep propagate",
+        "   (monotone-max induction => bit-identical per sweep); late",
+        "   sweeps' |E|-sized join outputs collapse to slivers. The same",
+        "   pattern was ported to wcc's hash-min fixpoint (monotone-min;",
+        "   measured neutral-within-noise there — the uniform input",
+        "   converges in ~6 dense-change sweeps, so there is little tail",
+        "   for the delta to prune; it is kept for the at-scale regime",
+        "   where diameter adds sparse-change sweeps).",
+        "3) LOW-YIELD TRIM EXIT: a trim sweep peeling <1% of the active",
+        "   set skips the two full-|E| semi-join rebuilds (was 25s of a",
+        "   155s 8-core run to remove 0.03% of nodes); stale edges drop",
+        "   in the fixpoint joins and the round-end cut.",
+        "4) BOUNDED LOCAL FINISH: post-round-0 remnant <= 100k rows",
+        "   collects once into a driver Tarjan, replacing the tail",
+        "   rounds' job storm (collected data O(threshold); threshold 0 =",
+        "   pure distributed, identical ids by construction).",
+        "5) Color auto-broadcast threshold 512k, NOT wcc's 4M: with the",
+        "   delta frontier the shuffle sides are already small, and the",
+        "   jump's 2|V| parent broadcast rebuilt per sweep measured",
+        "   150.6s vs 120.5s shuffle at 8 cores.",
+        "Net: 8-core median 163.5 -> 126.9s, 32-core 200.0 -> 87.5s,",
+        "2->8 efficiency 0.624 -> 0.701 (8->32: 0.204 -> 0.363). The",
+        "residual floor amortizes on a real cluster for the same reason",
+        "as before: per-round closures run on 1000x more edges for the",
+        "same number of rounds.",
         "",
         "knn kernel orientation (measured round 4, 10k-row Arrow batches,",
         "512 queries, dim 64, f64): the brute-force GEMM job was",

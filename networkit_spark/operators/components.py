@@ -122,10 +122,19 @@ def _hash_min_fixpoint(
     # only after the next sweep's count job has materialized it
     prev_cache: DataFrame | None = None
     n_updated = 0
+    # DELTA FRONTIER (the _struct_max_fixpoint pattern, min instead of
+    # max): only labels that CHANGED last sweep propagate — monotone-min
+    # induction makes every sweep's values bit-identical to the
+    # propagate-everything form (a node's current label already dominates
+    # every neighbor label propagated earlier, and any change — edge
+    # propagation OR pointer jump — re-enters the delta via the carried
+    # `old` column). Late sweeps' |E|-sized join outputs collapse to
+    # slivers; in broadcast mode the broadcast side shrinks with it.
+    delta = labels
     for it in range(start, max_iterations):
         t0 = time.time()
         nbr_min = (
-            e.join(_bc(labels), e.src == labels.id)
+            e.join(_bc(delta), e.src == delta.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -218,6 +227,9 @@ def _hash_min_fixpoint(
             if pj_cache is not None:
                 interm.append(pj_cache)
             labels = new_labels.select("id", "label")
+            delta = new_labels.filter(
+                F.col("label") != F.col("old")
+            ).select("id", "label")
             continue
         # convergence test = "the LAST sweep changed nothing": a sweep is a
         # deterministic function, so no-change ⟹ fixpoint — valid at any
@@ -269,10 +281,16 @@ def _hash_min_fixpoint(
                 },
             )["labels"]
             labels = new_labels
+            # the Parquet-checkpointed frame drops the `old` column, so
+            # the metrics/resume path falls back to full propagation
+            delta = labels
             cached.unpersist()
         else:
             new_labels = cached.localCheckpoint(eager=False)
             labels = new_labels.select("id", "label")
+            delta = new_labels.filter(
+                F.col("label") != F.col("old")
+            ).select("id", "label")
             if prev_cache is not None:
                 prev_cache.unpersist()
             prev_cache = cached
@@ -514,7 +532,7 @@ def strongly_connected_components(
 
     `fused_fwbw` (default True): run the forward and backward colorings
     as ONE fixpoint over a side-tagged doubled edge set (id2 = 2·id +
-    side; requires ids < 2^62) with bc(v) = max-priority node v reaches,
+    side; requires nonnegative ids < 2^62) with bc(v) = max-priority node v reaches,
     UNRESTRICTED — peel {fc=bc=x} = SCC(x) exactly. Per-sweep rows
     double but the driver-sequenced job count HALVES (sweeps 14→7
     measured on uniform 2^18/8), attacking the core-count-independent
@@ -781,7 +799,8 @@ def _scc_impl(
             # jobs is exactly the f attack. Priorities hash the ORIGINAL
             # id (both sides agree); the struct tie-break by id2 is
             # side-consistent since edges never cross sides. Requires
-            # ids < 2^62 (the doubling; checked nowhere — document).
+            # NONNEGATIVE ids < 2^62 (the doubling and the %2 side
+            # split; every reader/generator mints nonnegative ids).
             e2 = (
                 active_e.select(
                     (F.col("src") * 2).alias("src"),
